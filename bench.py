@@ -1,0 +1,111 @@
+"""Benchmark entry point. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): candidate cuts scored per second per chip on
+the largest BoxQP size (n=125, C(125,3)=317,750 candidates/round), for the
+full scoring stage (assemble Z(rho) + eigendecomposition-based feasibility
+check + NN improvement estimate).  vs_baseline = TPU rate / measured CPU
+reference rate (the numpy/LAPACK replica in sdpcutsel_tpu/baseline — the
+reference's own scoring path, SURVEY.md section 6).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+
+def tpu_scoring_rate(n=125, k=3, repeats=10):
+    import jax
+    import jax.numpy as jnp
+
+    from sdpcutsel_tpu.config import ScorerConfig
+    from sdpcutsel_tpu.cuts.assemble import assemble_Z
+    from sdpcutsel_tpu.cuts.eigen import feasibility_scores
+    from sdpcutsel_tpu.cuts.enumerate import combinations_table
+    from sdpcutsel_tpu.instances import generate_spar
+    from sdpcutsel_tpu.models.features import candidate_features, candidate_q_features
+    from sdpcutsel_tpu.models.scorer import MLPScorer, load_params
+    from sdpcutsel_tpu.utils.profiling import timed
+
+    inst = generate_spar(n, 100, 1)
+    Q = jnp.asarray(inst.Q, jnp.float32)
+    table = jnp.asarray(combinations_table(n, k))
+    T = table.shape[0]
+    cfg = ScorerConfig()
+    params, _ = load_params(k, tuple(cfg.hidden))
+    model = MLPScorer(hidden=tuple(cfg.hidden))
+    triQ, scale = candidate_q_features(Q, table)
+
+    @jax.jit
+    def score_all(x, X):
+        feats = candidate_features(triQ, x, X, table)
+        nn = scale * jnp.maximum(model.apply(params, feats), 0.0)
+        feas = feasibility_scores(assemble_Z(x, X, table))
+        return nn, feas
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    X = jnp.asarray(np.clip(np.outer(x, x)
+                            + 0.2 * rng.standard_normal((n, n)), 0, 1), jnp.float32)
+    X = 0.5 * (X + X.T)
+
+    sec, _ = timed(score_all, x, X, repeats=repeats)
+    return T / sec
+
+
+def cpu_scoring_rate(n=125, k=3, sample=30_000):
+    """Reference-shaped numpy scoring (gather + batched LAPACK eigh + MLP
+    matmuls) on a candidate subsample, extrapolated per-candidate."""
+    from sdpcutsel_tpu.cuts.enumerate import combinations_table
+    from sdpcutsel_tpu.instances import generate_spar
+
+    inst = generate_spar(n, 100, 1)
+    table = combinations_table(n, k)[:sample]
+    rng = np.random.default_rng(0)
+    x = rng.random(n)
+    X = np.clip(np.outer(x, x) + 0.2 * rng.standard_normal((n, n)), 0, 1)
+    X = 0.5 * (X + X.T)
+
+    W1 = rng.standard_normal((15, 64)); b1 = rng.standard_normal(64)
+    W2 = rng.standard_normal((64, 64)); b2 = rng.standard_normal(64)
+    W3 = rng.standard_normal((64, 1))
+
+    t0 = time.perf_counter()
+    xr = x[table]
+    Xr = X[table[:, :, None], table[:, None, :]]
+    Z = np.empty((table.shape[0], k + 1, k + 1))
+    Z[:, 0, 0] = 1.0
+    Z[:, 0, 1:] = xr
+    Z[:, 1:, 0] = xr
+    Z[:, 1:, 1:] = Xr
+    np.linalg.eigvalsh(Z)  # feasibility scores
+    Qr = inst.Q[table[:, :, None], table[:, None, :]]
+    sc = np.abs(Qr).max((1, 2))
+    iu = np.triu_indices(k)
+    feats = np.concatenate(
+        [Qr[:, iu[0], iu[1]] / np.maximum(sc, 1e-12)[:, None],
+         xr, Xr[:, iu[0], iu[1]]], axis=1)
+    h = np.maximum(feats @ W1 + b1, 0)
+    h = np.maximum(h @ W2 + b2, 0)
+    h @ W3  # NN scores
+    dt = time.perf_counter() - t0
+    return table.shape[0] / dt
+
+
+def main():
+    rate_cpu = cpu_scoring_rate()
+    rate_tpu = tpu_scoring_rate()
+    print(json.dumps({
+        "metric": "candidate_cuts_scored_per_sec_per_chip",
+        "value": round(rate_tpu, 1),
+        "unit": "candidates/s/chip (n=125, k=3, eigh+NN scoring)",
+        "vs_baseline": round(rate_tpu / max(rate_cpu, 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

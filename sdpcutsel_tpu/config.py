@@ -1,0 +1,92 @@
+"""Configuration tree for the whole framework.
+
+The reference exposes its knobs as function kwargs on ``cut_select_algo``
+(instance, k, sel_size, strategy, round count, tolerances — SURVEY.md section 5.6).
+Here every knob lives in one frozen dataclass tree so a run is fully described
+by a single ``RunConfig`` value; the CLI maps ``--section.field=value``
+overrides onto it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class LPConfig:
+    """Restarted-PDHG LP solver knobs (lp/pdhg.py)."""
+
+    max_iters: int = 20_000          # hard cap on PDHG iterations per solve
+    check_every: int = 100           # convergence check / restart cadence
+    restart_period: int = 500        # fixed fallback restart period (iters)
+    tol: float = 1e-6                # relative primal-dual gap target
+    feas_tol: float = 1e-6           # relative primal infeasibility target
+    omega0: float = 1.0              # initial primal weight
+    step_scale: float = 0.95         # eta = step_scale / ||K||
+    power_iters: int = 30            # power-method iterations for ||K||
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class CutConfig:
+    """Candidate cut family and pool management."""
+
+    k: int = 3                       # submatrix dimension (2/3 dense; up to 5 QCQP)
+    sel_size: int = 20               # cuts (candidates) selected per round
+    capacity: int = 4096             # fixed cut-pool capacity (masked buffer)
+    viol_tol: float = 1e-4           # -lambda_min threshold to emit a cut
+    purge_slack_tol: float = 1e-5    # purge cuts with slack above this and ~0 dual
+    purge: bool = True
+
+
+@dataclass(frozen=True)
+class ScorerConfig:
+    """Cut-selection strategy (SURVEY.md section 0.4).
+
+    strategy:
+      "feasibility"  — score by -lambda_min(Z(rho))
+      "optimality"   — exact small-SDP subproblem improvement (slow; oracle)
+      "neural"       — trained MLP estimate of the optimality score (headline)
+      "random"       — uniform random scores (experimental control)
+      "combined"     — neural score with feasibility tie-breaking
+    """
+
+    strategy: str = "neural"
+    weights_path: Optional[str] = None   # default: bundled artifact for this k
+    hidden: Tuple[int, ...] = (64, 64)
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Cutting-plane round controller."""
+
+    rounds: int = 20
+    improvement_tol: float = 1e-5    # stop when relative bound improvement below
+    checkpoint_every: int = 0        # 0 = disabled; else rounds between snapshots
+    checkpoint_dir: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout: ('data' = instance axis, 'cand' = candidate axis)."""
+
+    data: int = 1
+    cand: int = 1
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    lp: LPConfig = field(default_factory=LPConfig)
+    cuts: CutConfig = field(default_factory=CutConfig)
+    scorer: ScorerConfig = field(default_factory=ScorerConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 0
+
+
+def override(cfg, **kwargs):
+    """Functional update helper: override(cfg, lp=override(cfg.lp, tol=1e-7))."""
+    return dataclasses.replace(cfg, **kwargs)

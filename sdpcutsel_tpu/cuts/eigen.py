@@ -1,0 +1,29 @@
+"""Batched small symmetric eigendecomposition.
+
+Replaces the reference's LAPACK dsyev calls over Python loops (SURVEY.md R6)
+with a batched device eigh.  Two backends:
+
+  * ``jnp.linalg.eigh`` — XLA's batched small-matrix path (default, always
+    correct).
+  * the Pallas fused Jacobi kernel in ops/eigh_pallas.py for the hot
+    score-everything pass (wired in by the scorer; falls back here off-TPU).
+
+Note on tolerance: cut VALIDITY never depends on eigenvector accuracy — for
+any vector v, v'Z v >= 0 is implied by Z >= 0 — only cut VIOLATION (quality)
+does, so f32 eigenvectors are safe by construction.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def batched_eigh_small(Z):
+    """Z: (T, m, m) symmetric -> (w ascending: (T, m), V columns: (T, m, m))."""
+    return jnp.linalg.eigh(Z)
+
+
+def feasibility_scores(Z):
+    """Feasibility-based score: -lambda_min(Z(rho)) (violation magnitude)."""
+    w = jnp.linalg.eigvalsh(Z)
+    return -w[..., 0]

@@ -1,0 +1,166 @@
+"""The cutting-plane round controller — TPU equivalent of the reference's
+``CutSolver.cut_select_algo`` entry point (SURVEY.md sections 0.5, 3.1).
+
+Per round, entirely on device inside three jit regions:
+  1. re-solve the relaxation (warm-started restarted PDHG, lp/pdhg.py),
+  2. score ALL candidates under the configured strategy, take the top
+     ``sel_size``, eigendecompose only the selected Z(rho), emit violated
+     cut rows,
+  3. purge slack cuts and append the new rows to the fixed-capacity pool.
+
+The host loop only orchestrates rounds, fetches O(1) scalars for logging
+(SURVEY.md section 3.5), computes the certified f64 bound from the duals, and
+checkpoints.
+
+Strategies (SURVEY.md section 0.4): "feasibility", "optimality" (exact
+subproblem oracle), "neural" (trained MLP estimate — the headline method),
+"random", "combined".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..cuts.assemble import assemble_Z
+from ..cuts.eigen import batched_eigh_small, feasibility_scores
+from ..cuts.enumerate import combinations_table
+from ..cuts.generate import cuts_from_selected
+from ..instances.boxqp import BoxQPInstance
+from ..lp.pdhg import PDHGState, dual_bound_f64, init_state, solve_lp
+from ..ops.topk import masked_topk
+from ..relax.cutbuffer import (
+    CutPool, append_cuts, cut_residuals, empty_pool, purge_pool,
+)
+
+
+@dataclasses.dataclass
+class RoundStats:
+    round: int
+    bound: float          # certified f64 upper bound after this round's solve
+    lp_iters: int
+    lp_kkt_error: float
+    cuts_added: int
+    cuts_active: int
+    wall_time_s: float
+
+
+@functools.partial(jax.jit, static_argnames=("sel_size", "viol_tol"))
+def _select_and_generate(x, X, table, scores, sel_size: int, viol_tol: float):
+    """Top-sel_size candidates by score -> eigh(Z) -> violated cut rows."""
+    _, sel, valid = masked_topk(scores, sel_size)
+    idx_sel = table[sel]                       # (S, k)
+    Z = assemble_Z(x, X, idx_sel)              # (S, k+1, k+1)
+    w, V = batched_eigh_small(Z)
+    return cuts_from_selected(idx_sel, w, V, viol_tol, sel_valid=valid)
+
+
+@jax.jit
+def _feasibility_all(x, X, table):
+    return feasibility_scores(assemble_Z(x, X, table))
+
+
+class CutSolver:
+    """One BoxQP instance; dense candidate set of all C(n, k) subsets."""
+
+    def __init__(
+        self,
+        inst: BoxQPInstance,
+        cfg: RunConfig,
+        score_fn: Optional[Callable] = None,
+        dtype=jnp.float32,
+    ):
+        self.inst = inst
+        self.cfg = cfg
+        self.dtype = dtype
+        n = inst.n
+        self.Q = jnp.asarray(inst.Q, dtype)
+        self.c = jnp.asarray(inst.c, dtype)
+        self.table = jnp.asarray(combinations_table(n, cfg.cuts.k))
+        self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
+        self.state: PDHGState = init_state(n, cfg.cuts.capacity, dtype)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.history: list[RoundStats] = []
+        self._score_fn = score_fn or self._default_score_fn()
+
+    # -- scoring strategies -------------------------------------------------
+    def _default_score_fn(self) -> Callable:
+        strat = self.cfg.scorer.strategy
+        if strat == "feasibility":
+            return lambda x, X, key: _feasibility_all(x, X, self.table)
+        if strat == "random":
+            return lambda x, X, key: jax.random.uniform(
+                key, (self.table.shape[0],), dtype=self.dtype
+            )
+        if strat in ("neural", "combined"):
+            from ..models.scorer import neural_score_fn
+
+            return neural_score_fn(
+                self.Q, self.table, self.cfg.scorer,
+                combined=(strat == "combined"),
+            )
+        if strat == "optimality":
+            from ..models.labels import exact_score_fn
+
+            return exact_score_fn(self.Q, self.table)
+        raise ValueError(f"unknown strategy: {strat}")
+
+    # -- one round ----------------------------------------------------------
+    def do_round(self) -> RoundStats:
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        self.state, info = solve_lp(self.Q, self.c, self.pool, self.state, cfg.lp)
+        bound = dual_bound_f64(self.inst.Q, self.inst.c, self.pool, self.state)
+
+        x, X = self.state.x, self.state.X
+        self.key, sub = jax.random.split(self.key)
+        scores = self._score_fn(x, X, sub)
+        idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
+            x, X, self.table, scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
+        )
+
+        if cfg.cuts.purge:
+            slack = cut_residuals(x, X, self.pool)
+            self.pool, yC = purge_pool(
+                self.pool, self.state.yC, slack, cfg.cuts.purge_slack_tol
+            )
+            self.state = self.state._replace(yC=yC)
+
+        before = int(self.pool.count)
+        self.pool = append_cuts(self.pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
+        added = int(self.pool.count) - before
+
+        stats = RoundStats(
+            round=len(self.history),
+            bound=bound,
+            lp_iters=int(info["iters"]),
+            lp_kkt_error=float(info["kkt_error"]),
+            cuts_added=added,
+            cuts_active=int(self.pool.count),
+            wall_time_s=time.perf_counter() - t0,
+        )
+        self.history.append(stats)
+        return stats
+
+    def run(self, rounds: Optional[int] = None) -> list[RoundStats]:
+        rounds = rounds if rounds is not None else self.cfg.loop.rounds
+        prev = None
+        for _ in range(rounds):
+            s = self.do_round()
+            if prev is not None:
+                rel = abs(prev - s.bound) / (1.0 + abs(prev))
+                if rel < self.cfg.loop.improvement_tol and s.cuts_added == 0:
+                    break
+            prev = s.bound
+        return self.history
+
+    @property
+    def bounds(self) -> np.ndarray:
+        return np.asarray([s.bound for s in self.history])

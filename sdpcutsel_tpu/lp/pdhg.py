@@ -1,0 +1,286 @@
+"""TPU-native LP solver: restarted, averaged PDHG (PDLP-style).
+
+This replaces the reference's CPLEX dual-simplex backend (SURVEY.md section
+2.1, R5).  A simplex method is a serial, data-dependent pivot process — the
+opposite of what XLA/TPU wants — so the TPU-native design is a first-order
+primal-dual method whose every iteration is a handful of fused dense (n, n)
+elementwise maps (VPU) plus small cut-row gathers, all inside one jit region:
+
+    min  cobj' z   s.t.  K z >= h,  z in Z
+    Z = {x in [0,1]^n} x {X symmetric, entries in [0,1]}
+    K  = scaled McCormick rows (relax/mccormick.py) + unit-norm cut rows
+    cobj = (-c, -Q/2)       (min-form of  max 1/2 <Q,X> + c'x)
+
+PDHG with:
+  * analytic row scaling (SA/SB/unit cut rows) as diagonal preconditioning,
+  * power-iteration estimate of ||K|| for the step size,
+  * running ergodic average + restart-to-average when the average's KKT error
+    beats the current iterate's (PDLP's adaptive restart, simplified),
+  * primal-weight (omega) rebalancing between restarts,
+  * warm start across cutting-plane rounds (new cut rows enter with zero dual).
+
+Bound validity: for ANY dual y >= 0 the box-form Lagrangian gives a rigorous
+lower bound on the min-form LP value, hence a rigorous upper bound on the BoxQP
+maximum.  ``dual_bound_f64`` recomputes that certificate in float64 on host, so
+reported bounds never depend on f32 convergence being exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LPConfig
+from ..relax.cutbuffer import CutPool, cut_residuals, cut_adjoint
+from ..relax.mccormick import SA, SB, apply_K, apply_KT, project_primal
+
+
+class PDHGState(NamedTuple):
+    x: jnp.ndarray    # (n,)
+    X: jnp.ndarray    # (n, n)
+    yA: jnp.ndarray   # (n, n)
+    yB: jnp.ndarray   # (n, n)
+    yC: jnp.ndarray   # (M,)
+
+
+def init_state(n: int, capacity: int, dtype=jnp.float32) -> PDHGState:
+    return PDHGState(
+        x=jnp.full((n,), 0.5, dtype=dtype),
+        X=jnp.full((n, n), 0.25, dtype=dtype),
+        yA=jnp.zeros((n, n), dtype=dtype),
+        yB=jnp.zeros((n, n), dtype=dtype),
+        yC=jnp.zeros((capacity,), dtype=dtype),
+    )
+
+
+def _sym(X):
+    return 0.5 * (X + X.T)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "iters", "dtype"))
+def estimate_norm(pool: CutPool, n: int, iters: int = 30, dtype=jnp.float32):
+    """Power iteration for ||K|| on the symmetric-X primal subspace."""
+    key = jax.random.PRNGKey(0)
+    kx, kX = jax.random.split(key)
+    x = jax.random.normal(kx, (n,), dtype=dtype)
+    X = _sym(jax.random.normal(kX, (n, n), dtype=dtype))
+
+    def body(_, carry):
+        x, X = carry
+        kA, kB, kC = apply_K(x, X, pool)
+        gx, gX = apply_KT(kA, kB, kC * pool.active, pool, n)
+        gX = _sym(gX)
+        nrm = jnp.sqrt(jnp.sum(gx * gx) + jnp.sum(gX * gX)) + 1e-30
+        return gx / nrm, gX / nrm
+
+    x, X = jax.lax.fori_loop(0, iters, body, (x, X))
+    kA, kB, kC = apply_K(x, X, pool)
+    # v is (approximately) the unit top singular vector, so ||K v|| ~ ||K||.
+    lam = jnp.sqrt(
+        jnp.sum(kA * kA) + jnp.sum(kB * kB) + jnp.sum((kC * pool.active) ** 2)
+    )
+    return lam * 1.02 + 1e-12
+
+
+def _objective(cx, cX, x, X):
+    return jnp.dot(cx, x) + jnp.sum(cX * X)
+
+
+def _dual_bound(cx, cX, pool, yA, yB, yC, n):
+    """Box-form Lagrangian lower bound on the min LP; valid for any y >= 0."""
+    gx, gX = apply_KT(yA, yB, yC, pool, n)
+    hy = -SB * jnp.sum(yB) + jnp.sum(pool.rhs * pool.active * yC)
+    rx = cx - gx
+    S = (cX - gX) + (cX - gX).T  # paired coefficient for symmetric X entries
+    return (
+        hy
+        + jnp.sum(jnp.minimum(rx, 0.0))
+        + 0.5 * jnp.sum(jnp.minimum(S, 0.0))
+    )
+
+
+def _infeas(x, X, pool):
+    kA, kB, kC = apply_K(x, X, pool)
+    vA = jnp.maximum(-kA, 0.0)                       # hA = 0
+    vB = jnp.maximum(-SB - kB, 0.0)
+    vC = jnp.maximum(pool.rhs * pool.active - kC, 0.0) * pool.active
+    return jnp.sqrt(jnp.sum(vA**2) + jnp.sum(vB**2) + jnp.sum(vC**2))
+
+
+def _kkt_error(cx, cX, pool, st: PDHGState, n):
+    p = _objective(cx, cX, st.x, st.X)
+    d = _dual_bound(cx, cX, pool, st.yA, st.yB, st.yC, n)
+    gap = jnp.maximum(p - d, 0.0)
+    return _infeas(st.x, st.X, pool) + gap, p, d
+
+
+def _one_iter(cx, cX, pool, n, st: PDHGState, tau, sigma):
+    gx, gX = apply_KT(st.yA, st.yB, st.yC, pool, n)
+    xn, Xn = project_primal(st.x - tau * (cx - gx), st.X - tau * (cX - gX))
+    xb, Xb = 2.0 * xn - st.x, 2.0 * Xn - st.X
+    kA, kB, kC = apply_K(xb, Xb, pool)
+    yA = jnp.maximum(st.yA - sigma * kA, 0.0)
+    yB = jnp.maximum(st.yB + sigma * (-SB - kB), 0.0)
+    yC = jnp.maximum(st.yC + sigma * (pool.rhs * pool.active - kC), 0.0) * pool.active
+    return PDHGState(xn, Xn, yA, yB, yC)
+
+
+def _zeros_like_state(st: PDHGState) -> PDHGState:
+    return jax.tree.map(jnp.zeros_like, st)
+
+
+def _axpy(a: PDHGState, b: PDHGState, s=1.0) -> PDHGState:
+    return jax.tree.map(lambda u, v: u + s * v, a, b)
+
+
+def _scale(a: PDHGState, s) -> PDHGState:
+    return jax.tree.map(lambda u: u * s, a)
+
+
+def _dist2(a: PDHGState, b: PDHGState, primal: bool):
+    if primal:
+        return jnp.sum((a.x - b.x) ** 2) + jnp.sum((a.X - b.X) ** 2)
+    return (
+        jnp.sum((a.yA - b.yA) ** 2)
+        + jnp.sum((a.yB - b.yB) ** 2)
+        + jnp.sum((a.yC - b.yC) ** 2)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "check_every", "restart_period")
+)
+def _solve_impl(cx, cX, pool, st0, normK, omega0, tol, feas_tol,
+                step_scale, max_iters, check_every, restart_period):
+    n = cx.shape[0]
+    eta = step_scale / normK
+
+    def checked_block(carry):
+        st, acc, wlen, anchor, omega, it, _, _, _ = carry
+        tau = eta / omega
+        sigma = eta * omega
+
+        def inner(_, c):
+            s, a = c
+            s2 = _one_iter(cx, cX, pool, n, s, tau, sigma)
+            return s2, _axpy(a, s2)
+
+        st, acc = jax.lax.fori_loop(0, check_every, inner, (st, acc))
+        wlen = wlen + check_every
+        avg = _scale(acc, 1.0 / wlen)
+
+        err_cur, p_cur, d_cur = _kkt_error(cx, cX, pool, st, n)
+        err_avg, p_avg, d_avg = _kkt_error(cx, cX, pool, avg, n)
+
+        use_avg = err_avg < err_cur
+        cand = jax.tree.map(lambda u, v: jnp.where(use_avg, u, v), avg, st)
+        err = jnp.where(use_avg, err_avg, err_cur)
+        p = jnp.where(use_avg, p_avg, p_cur)
+        d = jnp.where(use_avg, d_avg, d_cur)
+
+        do_restart = use_avg | (wlen >= restart_period)
+        # primal-weight rebalancing between restarts (PDLP eq. (26), theta=0.5)
+        dp = jnp.sqrt(_dist2(cand, anchor, True)) + 1e-12
+        dd = jnp.sqrt(_dist2(cand, anchor, False)) + 1e-12
+        new_omega = jnp.exp(0.5 * jnp.log(dd / dp) + 0.5 * jnp.log(omega))
+        new_omega = jnp.clip(new_omega, 1e-4, 1e4)
+
+        st = jax.tree.map(lambda u, v: jnp.where(do_restart, u, v), cand, st)
+        omega = jnp.where(do_restart, new_omega, omega)
+        anchor = jax.tree.map(lambda u, v: jnp.where(do_restart, u, v), st, anchor)
+        acc = jax.tree.map(
+            lambda u: jnp.where(do_restart, jnp.zeros_like(u), u), acc
+        )
+        wlen = jnp.where(do_restart, 0, wlen)
+        return st, acc, wlen, anchor, omega, it + check_every, err, p, d
+
+    def cond(carry):
+        _, _, _, _, _, it, err, p, d = carry
+        rel = err / (1.0 + jnp.abs(p) + jnp.abs(d))
+        return (it < max_iters) & (rel > tol)
+
+    init = (
+        st0, _zeros_like_state(st0), jnp.int32(0), st0,
+        jnp.asarray(omega0, cx.dtype), jnp.int32(0),
+        jnp.asarray(jnp.inf, cx.dtype), jnp.asarray(0.0, cx.dtype),
+        jnp.asarray(0.0, cx.dtype),
+    )
+    st, _, _, _, omega, it, err, p, d = jax.lax.while_loop(
+        cond, checked_block, init
+    )
+    return st, {
+        "iters": it, "kkt_error": err, "primal_obj": p, "dual_obj": d,
+        "omega": omega,
+    }
+
+
+def solve_lp(Q, c, pool: CutPool, state: PDHGState, cfg: LPConfig):
+    """Solve the current relaxation; returns (state, info dict of scalars).
+
+    Max-form LP bound estimate = -info['dual_obj'] (rigorous up to f32 eval
+    error; use dual_bound_f64 for the certified value).
+    """
+    dtype = state.x.dtype
+    cx = (-c).astype(dtype)
+    cX = (-0.5 * Q).astype(dtype)
+    normK = estimate_norm(pool, int(c.shape[0]), cfg.power_iters, dtype)
+    st, info = _solve_impl(
+        cx, cX, pool, state, normK, cfg.omega0, cfg.tol, cfg.feas_tol,
+        cfg.step_scale, cfg.max_iters, cfg.check_every, cfg.restart_period,
+    )
+    return st, info
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def pdhg_run_fixed(cx, cX, pool, st, normK, omega, step_scale, iters: int):
+    """Fixed-iteration PDHG block (no checks) — for benchmarking and for fully
+    on-device scan-over-rounds pipelines."""
+    n = cx.shape[0]
+    eta = step_scale / normK
+    tau, sigma = eta / omega, eta * omega
+
+    def inner(_, s):
+        return _one_iter(cx, cX, pool, n, s, tau, sigma)
+
+    return jax.lax.fori_loop(0, iters, inner, st)
+
+
+def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState) -> float:
+    """Certified max-form upper bound from the current duals, in float64 numpy.
+
+    Mirrors _dual_bound exactly but on host at f64: any y >= 0 yields a valid
+    bound, so f32 solver noise cannot invalidate the reported number.
+    """
+    n = int(c.shape[0])
+    Q = np.asarray(Q, np.float64)
+    c = np.asarray(c, np.float64)
+    yA = np.maximum(np.asarray(state.yA, np.float64), 0.0)
+    yB = np.maximum(np.asarray(state.yB, np.float64), 0.0)
+    act = np.asarray(pool.active, np.float64)
+    yC = np.maximum(np.asarray(state.yC, np.float64), 0.0) * act
+    idx = np.asarray(pool.idx)
+    lin = np.asarray(pool.lin, np.float64)
+    quad = np.asarray(pool.quad, np.float64)
+    rhs = np.asarray(pool.rhs, np.float64)
+
+    cx = -c
+    cX = -0.5 * Q
+    gx = SA * yA.sum(1) - SB * (yB.sum(1) + yB.sum(0))
+    gX = -SA * yA + SB * yB
+    np.add.at(gx, idx.ravel(), (yC[:, None] * lin).ravel())
+    flat = np.zeros(n * n)
+    np.add.at(
+        flat,
+        (idx[:, :, None] * n + idx[:, None, :]).ravel(),
+        (yC[:, None, None] * quad).ravel(),
+    )
+    gX += flat.reshape(n, n)
+    hy = -SB * yB.sum() + float((rhs * act) @ yC)
+    rx = cx - gx
+    S = (cX - gX) + (cX - gX).T
+    dmin = hy + np.minimum(rx, 0.0).sum() + 0.5 * np.minimum(S, 0.0).sum()
+    return float(-dmin)  # max-form upper bound

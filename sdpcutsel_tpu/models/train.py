@@ -1,0 +1,179 @@
+"""Offline NN pipeline: subproblem sampling, exact labeling, MLP training.
+
+TPU-native re-design of the reference's TF/Keras offline stage (SURVEY.md
+sections 0.6, 3.2): the label "solver" is the batched ADMM small-SDP oracle in
+labels.py, so the WHOLE pipeline — sampling, exact labeling of hundreds of
+thousands of subproblems, and MLP training — runs on device.
+
+Sampling distribution (matches solve-time statistics):
+  Qhat  — symmetric, entries U[-1,1], rescaled to max-abs 1, random density
+          mask (dense BoxQP candidates see mostly dense blocks, QCQP sparse);
+  x*    — U[0,1]^k;
+  X*    — mixture of McCormick vertices (LP optima sit at bounds) and uniform
+          interior points of the McCormick box at x*.
+
+Label = max(0, 1/2<Qhat, X*> - s(Qhat; x*)) — the exact optimality score.
+
+Run:  python -m sdpcutsel_tpu.models.train --k 3 --samples 200000
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .features import tri_indices
+from .labels import _mccormick_box, solve_subproblem_admm
+from .scorer import MLPScorer, artifact_path, init_params, save_params
+
+
+def sample_subproblems(key, k: int, num: int):
+    """Returns (Qhat (N,k,k), x (N,k), X (N,k,k))."""
+    kq, kd, kx, kxm, kv, kc = jax.random.split(key, 6)
+    Q = jax.random.uniform(kq, (num, k, k), minval=-1.0, maxval=1.0)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, 1, 2))
+    # random density: keep each off-diagonal with prob p ~ U[0.3, 1]
+    p = jax.random.uniform(kd, (num, 1, 1), minval=0.3, maxval=1.0)
+    mask = jax.random.uniform(kc, (num, k, k)) < p
+    mask = mask | jnp.swapaxes(mask, 1, 2) | jnp.eye(k, dtype=bool)
+    Q = Q * mask
+    scale = jnp.maximum(jnp.max(jnp.abs(Q), axis=(1, 2), keepdims=True), 1e-6)
+    Q = Q / scale
+
+    x = jax.random.uniform(kx, (num, k))
+    lo, hi = _mccormick_box(x)
+    t = jax.random.uniform(kxm, (num, k, k))
+    t = 0.5 * (t + jnp.swapaxes(t, 1, 2))
+    interior = lo + t * (hi - lo)
+    vert_pick = jax.random.bernoulli(kv, 0.5, (num, k, k))
+    vert_pick = vert_pick & jnp.swapaxes(vert_pick, 1, 2)
+    vertex = jnp.where(vert_pick, hi, lo)
+    use_vertex = jax.random.bernoulli(kv, 0.5, (num, 1, 1))
+    X = jnp.where(use_vertex, vertex, interior)
+    return Q, x, X
+
+
+def make_features(Qhat, x, X):
+    k = x.shape[-1]
+    i0, i1 = tri_indices(k)
+    return jnp.concatenate([Qhat[:, i0, i1], x, X[:, i0, i1]], axis=1)
+
+
+def gen_dataset(key, k: int, num: int, admm_iters: int = 400,
+                chunk: int = 65536):
+    """Exact-labeled dataset, generated in device-sized chunks."""
+    feats_all, labels_all = [], []
+    done = 0
+    while done < num:
+        key, sub = jax.random.split(key)
+        m = min(chunk, num - done)
+        Q, x, X = sample_subproblems(sub, k, m)
+        current = 0.5 * jnp.sum(Q * X, axis=(1, 2))
+        s, _ = solve_subproblem_admm(Q, x, iters=admm_iters)
+        labels = jnp.maximum(current - s, 0.0)
+        feats_all.append(np.asarray(make_features(Q, x, X)))
+        labels_all.append(np.asarray(labels))
+        done += m
+    return np.concatenate(feats_all), np.concatenate(labels_all)
+
+
+def train_scorer(
+    k: int = 3,
+    samples: int = 200_000,
+    steps: int = 4000,
+    batch: int = 4096,
+    lr: float = 1e-3,
+    hidden=(64, 64),
+    seed: int = 0,
+    out_path: str | None = None,
+    verbose: bool = True,
+):
+    key = jax.random.PRNGKey(seed)
+    key, kd = jax.random.split(key)
+    t0 = time.time()
+    feats, labels = gen_dataset(kd, k, samples)
+    if verbose:
+        print(f"[train] dataset: {feats.shape} labeled in {time.time()-t0:.1f}s "
+              f"(mean label {labels.mean():.4f})")
+
+    n_train = int(0.95 * len(feats))
+    ftr, ltr = jnp.asarray(feats[:n_train]), jnp.asarray(labels[:n_train])
+    fte, lte = jnp.asarray(feats[n_train:]), jnp.asarray(labels[n_train:])
+
+    model = MLPScorer(hidden=tuple(hidden))
+    params = init_params(k, hidden, seed)
+    sched = optax.cosine_decay_schedule(lr, steps)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        idx = jax.random.randint(key, (batch,), 0, n_train)
+        fb, lb = ftr[idx], ltr[idx]
+
+        def loss_fn(p):
+            pred = model.apply(p, fb)
+            return jnp.mean((pred - lb) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if verbose and (i % 500 == 0 or i == steps - 1):
+            pred = model.apply(params, fte)
+            mse = float(jnp.mean((pred - lte) ** 2))
+            var = float(jnp.var(lte))
+            # rank quality matters for selection: Spearman on holdout
+            rs = _spearman(np.asarray(pred), np.asarray(lte))
+            print(f"[train] step {i}: loss={float(loss):.5f} "
+                  f"holdout R2={1 - mse / max(var, 1e-12):.3f} spearman={rs:.3f}")
+
+    out_path = out_path or artifact_path(k)
+    save_params(params, out_path)
+    pred = model.apply(params, fte)
+    mse = float(jnp.mean((pred - lte) ** 2))
+    metrics = {
+        "holdout_mse": mse,
+        "holdout_r2": 1 - mse / max(float(jnp.var(lte)), 1e-12),
+        "holdout_spearman": _spearman(np.asarray(pred), np.asarray(lte)),
+        "train_time_s": time.time() - t0,
+        "samples": samples,
+    }
+    if verbose:
+        print(f"[train] saved {out_path}: {metrics}")
+    return params, metrics
+
+
+def _spearman(a: np.ndarray, b: np.ndarray) -> float:
+    ra = np.argsort(np.argsort(a)).astype(np.float64)
+    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    denom = np.sqrt((ra**2).sum() * (rb**2).sum())
+    return float((ra * rb).sum() / max(denom, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=3)
+    ap.add_argument("--samples", type=int, default=200_000)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    train_scorer(k=args.k, samples=args.samples, steps=args.steps,
+                 seed=args.seed, out_path=args.out)
+
+
+if __name__ == "__main__":
+    main()

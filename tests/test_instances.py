@@ -1,0 +1,47 @@
+import numpy as np
+
+from sdpcutsel_tpu.instances import (
+    generate_spar, load_or_generate, parse_boxqp, write_boxqp, suite_names,
+)
+
+
+def test_generate_deterministic():
+    a = generate_spar(20, 100, 1)
+    b = generate_spar(20, 100, 1)
+    assert a.name == "spar020-100-1"
+    np.testing.assert_array_equal(a.Q, b.Q)
+    np.testing.assert_array_equal(a.c, b.c)
+    assert np.allclose(a.Q, a.Q.T)
+    assert np.abs(a.Q).max() <= 50 and np.abs(a.c).max() <= 100
+
+
+def test_density():
+    dense = generate_spar(40, 100, 1)
+    sparse = generate_spar(40, 25, 1)
+    off = ~np.eye(40, dtype=bool)
+    frac_dense = (dense.Q[off] != 0).mean()
+    frac_sparse = (sparse.Q[off] != 0).mean()
+    assert frac_dense > 0.9
+    assert 0.1 < frac_sparse < 0.4
+
+
+def test_roundtrip(tmp_path):
+    inst = generate_spar(15, 50, 2)
+    p = tmp_path / "t.in"
+    write_boxqp(inst, str(p))
+    back = parse_boxqp(str(p))
+    np.testing.assert_allclose(back.Q, inst.Q)
+    np.testing.assert_allclose(back.c, inst.c)
+
+
+def test_load_or_generate_cache(tmp_path):
+    inst = load_or_generate("spar020-100-1", data_dir=str(tmp_path))
+    again = load_or_generate("spar020-100-1", data_dir=str(tmp_path))
+    np.testing.assert_allclose(inst.Q, again.Q)
+    assert (tmp_path / "spar020-100-1.in").exists()
+
+
+def test_suite_names():
+    names = suite_names()
+    assert len(names) == 120
+    assert "spar125-100-3" in names

@@ -1,0 +1,52 @@
+"""End-to-end cutting-plane loop tests on a small instance (CPU, f32)."""
+
+import numpy as np
+import pytest
+
+from sdpcutsel_tpu.baseline import cpu_cut_select
+from sdpcutsel_tpu.config import CutConfig, LPConfig, RunConfig, ScorerConfig, override
+from sdpcutsel_tpu.instances import generate_spar
+from sdpcutsel_tpu.loop import CutSolver
+
+
+def small_cfg(strategy="feasibility", sel=10, rounds=4):
+    return RunConfig(
+        lp=LPConfig(max_iters=15_000, tol=2e-6),
+        cuts=CutConfig(k=3, sel_size=sel, capacity=256),
+        scorer=ScorerConfig(strategy=strategy),
+    )
+
+
+@pytest.fixture(scope="module")
+def inst10():
+    return generate_spar(12, 100, 3)
+
+
+def test_loop_bound_monotone_and_dominates_cpu(inst10):
+    cfg = small_cfg()
+    solver = CutSolver(inst10, cfg)
+    hist = solver.run(rounds=4)
+    bounds = np.asarray([h.bound for h in hist])
+    # adding cuts never worsens the bound (up to solver tolerance)
+    assert (np.diff(bounds) <= 1e-3 * (1 + np.abs(bounds[:-1]))).all()
+    # cuts were actually added
+    assert hist[0].cuts_added > 0
+
+    # CPU replica with the same strategy/selection
+    cpu_hist, _ = cpu_cut_select(
+        inst10, k=3, sel_size=10, rounds=4, strategy="feasibility"
+    )
+    cpu_bounds = np.asarray([h.bound for h in cpu_hist])
+    # round 0 is the plain McCormick bound on both paths
+    np.testing.assert_allclose(bounds[0], cpu_bounds[0], rtol=2e-3)
+    # final TPU-loop bound should close a comparable amount of gap
+    drop_tpu = bounds[0] - bounds[-1]
+    drop_cpu = cpu_bounds[0] - cpu_bounds[-1]
+    assert drop_tpu >= 0.8 * drop_cpu - 1e-3
+
+
+def test_random_strategy_runs(inst10):
+    solver = CutSolver(inst10, small_cfg("random"))
+    hist = solver.run(rounds=2)
+    assert len(hist) == 2
+    assert hist[-1].bound <= hist[0].bound + 1e-3
