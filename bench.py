@@ -23,8 +23,7 @@ def tpu_scoring_rate(n=125, k=3, repeats=10):
     import jax.numpy as jnp
 
     from sdpcutsel_tpu.config import ScorerConfig
-    from sdpcutsel_tpu.cuts.assemble import assemble_Z
-    from sdpcutsel_tpu.cuts.eigen import feasibility_scores
+    from sdpcutsel_tpu.cuts.eigen import feasibility_scores_from_point
     from sdpcutsel_tpu.cuts.enumerate import combinations_table
     from sdpcutsel_tpu.instances import generate_spar
     from sdpcutsel_tpu.models.features import candidate_features, candidate_q_features
@@ -44,7 +43,7 @@ def tpu_scoring_rate(n=125, k=3, repeats=10):
     def score_all(x, X):
         feats = candidate_features(triQ, x, X, table)
         nn = scale * jnp.maximum(model.apply(params, feats), 0.0)
-        feas = feasibility_scores(assemble_Z(x, X, table))
+        feas = feasibility_scores_from_point(x, X, table)
         return nn, feas
 
     rng = np.random.default_rng(0)

@@ -1,0 +1,112 @@
+"""Experiment driver: run the BoxQP suite, aggregate % gap closed.
+
+TPU counterpart of the reference's run_experiments script (SURVEY.md R4,
+section 3.3): for each (instance, strategy) run the cutting-plane loop,
+record per-round certified bounds, and report the % of the
+(McCormick - SDP) gap closed per round.
+
+SDP reference bounds are computed once per instance by the full-eigencut loop
+(loop/sdp_bound.py) and cached in a JSON registry next to the instance data —
+the TPU-native replacement for the reference's shipped known-optima files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+from ..config import RunConfig
+from ..instances.boxqp import load_or_generate
+from ..loop.sdp_bound import gap_closed, sdp_relaxation_bound
+from ..loop.solver import CutSolver
+from ..utils.logging import JSONLLogger
+
+
+def bounds_registry(path: str):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_registry(reg: dict, path: str):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(reg, f, indent=1, sort_keys=True)
+
+
+def ensure_bounds(name: str, data_dir: str, lp_cfg=None, max_rounds: int = 120):
+    """Get (mccormick_bound, sdp_bound) for an instance, computing+caching."""
+    reg_path = os.path.join(data_dir, "bounds.json")
+    reg = bounds_registry(reg_path)
+    if name in reg:
+        return reg[name]["mccormick"], reg[name]["sdp"]
+    inst = load_or_generate(name, data_dir=data_dir)
+    sdp, mc, _ = sdp_relaxation_bound(inst, lp_cfg, max_rounds=max_rounds)
+    reg[name] = {"mccormick": mc, "sdp": sdp}
+    _save_registry(reg, reg_path)
+    return mc, sdp
+
+
+def instance_gap_closed(name: str, cfg: RunConfig, data_dir: str,
+                        rounds: int | None = None, logger: JSONLLogger | None = None):
+    """Run one (instance, strategy); returns dict with per-round gap closed."""
+    inst = load_or_generate(name, data_dir=data_dir)
+    mc, sdp = ensure_bounds(name, data_dir, cfg.lp)
+    t0 = time.perf_counter()
+    solver = CutSolver(inst, cfg)
+    hist = solver.run(rounds)
+    gaps = gap_closed(mc, sdp, [h.bound for h in hist])
+    rec = {
+        "instance": name,
+        "strategy": cfg.scorer.strategy,
+        "mccormick": mc,
+        "sdp": sdp,
+        "bounds": [h.bound for h in hist],
+        "gap_closed": gaps.tolist(),
+        "final_gap_closed": float(gaps[-1]) if len(gaps) else 0.0,
+        "cuts_total": hist[-1].cuts_active if hist else 0,
+        "wall_time_s": time.perf_counter() - t0,
+    }
+    if logger:
+        logger.log(rec)
+    return rec
+
+
+def run_suite(names, strategies, cfg: RunConfig, data_dir: str,
+              out_path: str | None = None, rounds: int | None = None,
+              verbose: bool = True):
+    """Run the suite grid; returns list of per-run records + summary."""
+    import dataclasses
+
+    logger = JSONLLogger(out_path) if out_path else None
+    records = []
+    for name in names:
+        for strat in strategies:
+            c = dataclasses.replace(
+                cfg, scorer=dataclasses.replace(cfg.scorer, strategy=strat)
+            )
+            rec = instance_gap_closed(name, c, data_dir, rounds, logger)
+            records.append(rec)
+            if verbose:
+                print(f"[suite] {name} {strat}: gap_closed="
+                      f"{rec['final_gap_closed']:.3f} "
+                      f"t={rec['wall_time_s']:.1f}s", flush=True)
+    summary = summarize(records)
+    if logger:
+        logger.log({"summary": summary})
+        logger.close()
+    return records, summary
+
+
+def summarize(records):
+    out = {}
+    for r in records:
+        out.setdefault(r["strategy"], []).append(r["final_gap_closed"])
+    return {
+        s: {"mean_gap_closed": float(np.mean(v)), "n": len(v)}
+        for s, v in out.items()
+    }

@@ -1,0 +1,94 @@
+"""Sparse QCQP instances (SURVEY.md sections 0.1, 0.7).
+
+Problem class:  max 1/2 x'Q0 x + c0'x
+                s.t. 1/2 x'Qi x + ci'x <= bi   (i = 1..m),   x in [0,1]^n
+with sparse symmetric Qi.  The lifted relaxation linearizes every quadratic
+through X: 1/2 <Qi, X> + ci'x <= bi, plus McCormick on X and sparse PSD cuts
+on candidate submatrices drawn from a chordal decomposition of the aggregate
+sparsity graph (qcqp/chordal.py).
+
+File format:
+    n m
+    c0 (n values)
+    Q0 as: nnz, then nnz lines "i j v" (upper triangle incl diag)
+    for each constraint: "b" then ci (n values), then nnz + lines like Q0
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class QCQPInstance:
+    name: str
+    Q0: np.ndarray                 # (n, n) symmetric sparse-ish
+    c0: np.ndarray                 # (n,)
+    Qs: tuple = field(default=())  # tuple of (n, n) symmetric
+    cs: tuple = field(default=())  # tuple of (n,)
+    bs: tuple = field(default=())  # tuple of float
+
+    @property
+    def n(self) -> int:
+        return int(self.c0.shape[0])
+
+    @property
+    def m(self) -> int:
+        return len(self.bs)
+
+    def sparsity_graph(self):
+        """Aggregate edge set {(i, j): some Q has a nonzero there}, i<j."""
+        agg = np.abs(self.Q0.copy())
+        for Q in self.Qs:
+            agg += np.abs(Q)
+        iu = np.triu_indices(self.n, k=1)
+        mask = agg[iu] != 0
+        return list(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+
+
+_NAME_RE = re.compile(r"^qcqp(\d+)-(\d+)-(\d+)-(\d+)$")  # n-density-m-seed
+
+
+def generate_qcqp(n: int, density: int, m: int, seed: int) -> QCQPInstance:
+    """Random sparse QCQP, deterministic in (n, density, m, seed).
+
+    Constraints are generated feasible at x0 = 0.25*ones with slack, so the
+    relaxation is never trivially infeasible.
+    """
+    name = f"qcqp{n:03d}-{density}-{m}-{seed}"
+    key = (n << 40) | (density << 24) | (m << 16) | seed
+    rng = np.random.Generator(np.random.Philox(key=[key, 0xDC9]))
+
+    def rand_sparse_sym():
+        Q = np.zeros((n, n))
+        iu = np.triu_indices(n, k=1)
+        nm = iu[0].shape[0]
+        mask = rng.random(nm) < (density / 100.0)
+        Q[iu] = rng.integers(-50, 51, size=nm) * mask
+        Q = Q + Q.T
+        np.fill_diagonal(Q, rng.integers(-50, 51, size=n))
+        return Q.astype(np.float64)
+
+    Q0 = rand_sparse_sym()
+    c0 = rng.integers(-100, 101, size=n).astype(np.float64)
+    Qs, cs, bs = [], [], []
+    x0 = np.full(n, 0.25)
+    for _ in range(m):
+        Qi = rand_sparse_sym()
+        ci = rng.integers(-100, 101, size=n).astype(np.float64)
+        val = 0.5 * x0 @ Qi @ x0 + ci @ x0
+        bs.append(float(val + rng.uniform(5.0, 50.0)))
+        Qs.append(Qi)
+        cs.append(ci)
+    return QCQPInstance(name, Q0, c0, tuple(Qs), tuple(cs), tuple(bs))
+
+
+def load_or_generate_qcqp(name: str) -> QCQPInstance:
+    mt = _NAME_RE.match(name)
+    if mt is None:
+        raise ValueError(f"cannot generate unknown QCQP name: {name}")
+    n, density, m, seed = (int(g) for g in mt.groups())
+    return generate_qcqp(n, density, m, seed)

@@ -46,7 +46,7 @@ def sdp_relaxation_bound(
     full = jnp.arange(n, dtype=jnp.int32)[None, :]   # single candidate (1, n)
 
     pool = empty_pool(capacity, n, dtype)
-    state = init_state(n, capacity, dtype)
+    state = init_state(n, capacity, 0, dtype)
 
     @jax.jit
     def gen_cuts(x, X):

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..config import RunConfig
 from ..cuts.assemble import assemble_Z
-from ..cuts.eigen import batched_eigh_small, feasibility_scores
+from ..cuts.eigen import batched_eigh_small, feasibility_scores_from_point
 from ..cuts.enumerate import combinations_table
 from ..cuts.generate import cuts_from_selected
 from ..instances.boxqp import BoxQPInstance
@@ -64,7 +64,7 @@ def _select_and_generate(x, X, table, scores, sel_size: int, viol_tol: float):
 
 @jax.jit
 def _feasibility_all(x, X, table):
-    return feasibility_scores(assemble_Z(x, X, table))
+    return feasibility_scores_from_point(x, X, table)
 
 
 class CutSolver:
@@ -85,7 +85,7 @@ class CutSolver:
         self.c = jnp.asarray(inst.c, dtype)
         self.table = jnp.asarray(combinations_table(n, cfg.cuts.k))
         self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
-        self.state: PDHGState = init_state(n, cfg.cuts.capacity, dtype)
+        self.state: PDHGState = init_state(n, cfg.cuts.capacity, 0, dtype)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.history: list[RoundStats] = []
         self._score_fn = score_fn or self._default_score_fn()

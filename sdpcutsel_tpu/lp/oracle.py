@@ -24,12 +24,15 @@ def _tri_index(n: int):
     return T, k
 
 
-def solve_mccormick_highs(Q, c, cuts=None):
+def solve_mccormick_highs(Q, c, cuts=None, qcons=None):
     """Solve max 1/2<Q,X> + c'x over the McCormick LP (+ optional cut rows).
 
     cuts: optional list of (idx (k,), lin (k,), quad (k,k), rhs) tuples in the
     same convention as relax/cutbuffer.py: lin.x_rho + <quad, X_rho_rho> >= rhs
     with quad a full symmetric matrix over the support.
+
+    qcons: optional list of (Qi (n,n), ci (n,), bi) linearized quadratic
+    constraints 1/2 <Qi, X> + ci'x <= bi (the lifted QCQP rows).
 
     Returns (value, x, Xtri) where value is the max-form LP optimum.
     """
@@ -85,6 +88,18 @@ def solve_mccormick_highs(Q, c, cuts=None):
             entries = [(i, -v) for i, v in coef.items()]
             entries += [(t, -v) for t, v in tri.items()]
             add_row(entries, -float(rhs))  # lin.x + <quad,X> >= rhs
+
+    if qcons is not None:
+        for Qi, ci, bi in qcons:
+            Qi = np.asarray(Qi, np.float64)
+            ci = np.asarray(ci, np.float64)
+            entries = [(i, float(ci[i])) for i in range(n) if ci[i] != 0.0]
+            for i in range(n):
+                for j in range(i, n):
+                    w = 0.5 * Qi[i, j] if i == j else Qi[i, j]
+                    if w != 0.0:
+                        entries.append((n + T[i, j], w))
+            add_row(entries, float(bi))
 
     A = sp.csr_matrix(
         (vals, (rows, cols)), shape=(len(rhs_ub), nv)

@@ -36,6 +36,7 @@ import numpy as np
 
 from ..config import LPConfig
 from ..relax.cutbuffer import CutPool, cut_residuals, cut_adjoint
+from ..relax.denserows import DenseRows, empty_dense
 from ..relax.mccormick import SA, SB, apply_K, apply_KT, project_primal
 
 
@@ -44,16 +45,19 @@ class PDHGState(NamedTuple):
     X: jnp.ndarray    # (n, n)
     yA: jnp.ndarray   # (n, n)
     yB: jnp.ndarray   # (n, n)
-    yC: jnp.ndarray   # (M,)
+    yC: jnp.ndarray   # (M,) cut-row duals
+    yD: jnp.ndarray   # (m,) dense-row duals (QCQP; m = 0 for BoxQP)
 
 
-def init_state(n: int, capacity: int, dtype=jnp.float32) -> PDHGState:
+def init_state(n: int, capacity: int, m_dense: int = 0,
+               dtype=jnp.float32) -> PDHGState:
     return PDHGState(
         x=jnp.full((n,), 0.5, dtype=dtype),
         X=jnp.full((n, n), 0.25, dtype=dtype),
         yA=jnp.zeros((n, n), dtype=dtype),
         yB=jnp.zeros((n, n), dtype=dtype),
         yC=jnp.zeros((capacity,), dtype=dtype),
+        yD=jnp.zeros((m_dense,), dtype=dtype),
     )
 
 
@@ -62,8 +66,11 @@ def _sym(X):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "iters", "dtype"))
-def estimate_norm(pool: CutPool, n: int, iters: int = 30, dtype=jnp.float32):
+def estimate_norm(pool: CutPool, n: int, iters: int = 30, dtype=jnp.float32,
+                  dense: DenseRows | None = None):
     """Power iteration for ||K|| on the symmetric-X primal subspace."""
+    if dense is None:
+        dense = empty_dense(n, dtype)
     key = jax.random.PRNGKey(0)
     kx, kX = jax.random.split(key)
     x = jax.random.normal(kx, (n,), dtype=dtype)
@@ -71,17 +78,18 @@ def estimate_norm(pool: CutPool, n: int, iters: int = 30, dtype=jnp.float32):
 
     def body(_, carry):
         x, X = carry
-        kA, kB, kC = apply_K(x, X, pool)
-        gx, gX = apply_KT(kA, kB, kC * pool.active, pool, n)
+        kA, kB, kC, kD = apply_K(x, X, pool, dense)
+        gx, gX = apply_KT(kA, kB, kC * pool.active, pool, n, kD, dense)
         gX = _sym(gX)
         nrm = jnp.sqrt(jnp.sum(gx * gx) + jnp.sum(gX * gX)) + 1e-30
         return gx / nrm, gX / nrm
 
     x, X = jax.lax.fori_loop(0, iters, body, (x, X))
-    kA, kB, kC = apply_K(x, X, pool)
+    kA, kB, kC, kD = apply_K(x, X, pool, dense)
     # v is (approximately) the unit top singular vector, so ||K v|| ~ ||K||.
     lam = jnp.sqrt(
-        jnp.sum(kA * kA) + jnp.sum(kB * kB) + jnp.sum((kC * pool.active) ** 2)
+        jnp.sum(kA * kA) + jnp.sum(kB * kB)
+        + jnp.sum((kC * pool.active) ** 2) + jnp.sum(kD * kD)
     )
     return lam * 1.02 + 1e-12
 
@@ -90,10 +98,11 @@ def _objective(cx, cX, x, X):
     return jnp.dot(cx, x) + jnp.sum(cX * X)
 
 
-def _dual_bound(cx, cX, pool, yA, yB, yC, n):
+def _dual_bound(cx, cX, pool, dense, yA, yB, yC, yD, n):
     """Box-form Lagrangian lower bound on the min LP; valid for any y >= 0."""
-    gx, gX = apply_KT(yA, yB, yC, pool, n)
-    hy = -SB * jnp.sum(yB) + jnp.sum(pool.rhs * pool.active * yC)
+    gx, gX = apply_KT(yA, yB, yC, pool, n, yD, dense)
+    hy = (-SB * jnp.sum(yB) + jnp.sum(pool.rhs * pool.active * yC)
+          + jnp.sum(dense.h * yD))
     rx = cx - gx
     S = (cX - gX) + (cX - gX).T  # paired coefficient for symmetric X entries
     return (
@@ -103,30 +112,33 @@ def _dual_bound(cx, cX, pool, yA, yB, yC, n):
     )
 
 
-def _infeas(x, X, pool):
-    kA, kB, kC = apply_K(x, X, pool)
+def _infeas(x, X, pool, dense):
+    kA, kB, kC, kD = apply_K(x, X, pool, dense)
     vA = jnp.maximum(-kA, 0.0)                       # hA = 0
     vB = jnp.maximum(-SB - kB, 0.0)
     vC = jnp.maximum(pool.rhs * pool.active - kC, 0.0) * pool.active
-    return jnp.sqrt(jnp.sum(vA**2) + jnp.sum(vB**2) + jnp.sum(vC**2))
+    vD = jnp.maximum(dense.h - kD, 0.0)
+    return jnp.sqrt(jnp.sum(vA**2) + jnp.sum(vB**2) + jnp.sum(vC**2)
+                    + jnp.sum(vD**2))
 
 
-def _kkt_error(cx, cX, pool, st: PDHGState, n):
+def _kkt_error(cx, cX, pool, dense, st: PDHGState, n):
     p = _objective(cx, cX, st.x, st.X)
-    d = _dual_bound(cx, cX, pool, st.yA, st.yB, st.yC, n)
+    d = _dual_bound(cx, cX, pool, dense, st.yA, st.yB, st.yC, st.yD, n)
     gap = jnp.maximum(p - d, 0.0)
-    return _infeas(st.x, st.X, pool) + gap, p, d
+    return _infeas(st.x, st.X, pool, dense) + gap, p, d
 
 
-def _one_iter(cx, cX, pool, n, st: PDHGState, tau, sigma):
-    gx, gX = apply_KT(st.yA, st.yB, st.yC, pool, n)
+def _one_iter(cx, cX, pool, dense, n, st: PDHGState, tau, sigma):
+    gx, gX = apply_KT(st.yA, st.yB, st.yC, pool, n, st.yD, dense)
     xn, Xn = project_primal(st.x - tau * (cx - gx), st.X - tau * (cX - gX))
     xb, Xb = 2.0 * xn - st.x, 2.0 * Xn - st.X
-    kA, kB, kC = apply_K(xb, Xb, pool)
+    kA, kB, kC, kD = apply_K(xb, Xb, pool, dense)
     yA = jnp.maximum(st.yA - sigma * kA, 0.0)
     yB = jnp.maximum(st.yB + sigma * (-SB - kB), 0.0)
     yC = jnp.maximum(st.yC + sigma * (pool.rhs * pool.active - kC), 0.0) * pool.active
-    return PDHGState(xn, Xn, yA, yB, yC)
+    yD = jnp.maximum(st.yD + sigma * (dense.h - kD), 0.0)
+    return PDHGState(xn, Xn, yA, yB, yC, yD)
 
 
 def _zeros_like_state(st: PDHGState) -> PDHGState:
@@ -148,13 +160,14 @@ def _dist2(a: PDHGState, b: PDHGState, primal: bool):
         jnp.sum((a.yA - b.yA) ** 2)
         + jnp.sum((a.yB - b.yB) ** 2)
         + jnp.sum((a.yC - b.yC) ** 2)
+        + jnp.sum((a.yD - b.yD) ** 2)
     )
 
 
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "check_every", "restart_period")
 )
-def _solve_impl(cx, cX, pool, st0, normK, omega0, tol, feas_tol,
+def _solve_impl(cx, cX, pool, dense, st0, normK, omega0, tol, feas_tol,
                 step_scale, max_iters, check_every, restart_period):
     n = cx.shape[0]
     eta = step_scale / normK
@@ -166,15 +179,15 @@ def _solve_impl(cx, cX, pool, st0, normK, omega0, tol, feas_tol,
 
         def inner(_, c):
             s, a = c
-            s2 = _one_iter(cx, cX, pool, n, s, tau, sigma)
+            s2 = _one_iter(cx, cX, pool, dense, n, s, tau, sigma)
             return s2, _axpy(a, s2)
 
         st, acc = jax.lax.fori_loop(0, check_every, inner, (st, acc))
         wlen = wlen + check_every
         avg = _scale(acc, 1.0 / wlen)
 
-        err_cur, p_cur, d_cur = _kkt_error(cx, cX, pool, st, n)
-        err_avg, p_avg, d_avg = _kkt_error(cx, cX, pool, avg, n)
+        err_cur, p_cur, d_cur = _kkt_error(cx, cX, pool, dense, st, n)
+        err_avg, p_avg, d_avg = _kkt_error(cx, cX, pool, dense, avg, n)
 
         use_avg = err_avg < err_cur
         cand = jax.tree.map(lambda u, v: jnp.where(use_avg, u, v), avg, st)
@@ -218,25 +231,30 @@ def _solve_impl(cx, cX, pool, st0, normK, omega0, tol, feas_tol,
     }
 
 
-def solve_lp(Q, c, pool: CutPool, state: PDHGState, cfg: LPConfig):
+def solve_lp(Q, c, pool: CutPool, state: PDHGState, cfg: LPConfig,
+             dense: DenseRows | None = None):
     """Solve the current relaxation; returns (state, info dict of scalars).
 
     Max-form LP bound estimate = -info['dual_obj'] (rigorous up to f32 eval
     error; use dual_bound_f64 for the certified value).
     """
     dtype = state.x.dtype
+    n = int(c.shape[0])
+    if dense is None:
+        dense = empty_dense(n, dtype)
     cx = (-c).astype(dtype)
     cX = (-0.5 * Q).astype(dtype)
-    normK = estimate_norm(pool, int(c.shape[0]), cfg.power_iters, dtype)
+    normK = estimate_norm(pool, n, cfg.power_iters, dtype, dense)
     st, info = _solve_impl(
-        cx, cX, pool, state, normK, cfg.omega0, cfg.tol, cfg.feas_tol,
+        cx, cX, pool, dense, state, normK, cfg.omega0, cfg.tol, cfg.feas_tol,
         cfg.step_scale, cfg.max_iters, cfg.check_every, cfg.restart_period,
     )
     return st, info
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def pdhg_run_fixed(cx, cX, pool, st, normK, omega, step_scale, iters: int):
+def pdhg_run_fixed(cx, cX, pool, dense, st, normK, omega, step_scale,
+                   iters: int):
     """Fixed-iteration PDHG block (no checks) — for benchmarking and for fully
     on-device scan-over-rounds pipelines."""
     n = cx.shape[0]
@@ -244,12 +262,13 @@ def pdhg_run_fixed(cx, cX, pool, st, normK, omega, step_scale, iters: int):
     tau, sigma = eta / omega, eta * omega
 
     def inner(_, s):
-        return _one_iter(cx, cX, pool, n, s, tau, sigma)
+        return _one_iter(cx, cX, pool, dense, n, s, tau, sigma)
 
     return jax.lax.fori_loop(0, iters, inner, st)
 
 
-def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState) -> float:
+def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState,
+                   dense: DenseRows | None = None) -> float:
     """Certified max-form upper bound from the current duals, in float64 numpy.
 
     Mirrors _dual_bound exactly but on host at f64: any y >= 0 yields a valid
@@ -280,6 +299,14 @@ def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState) -> float:
     )
     gX += flat.reshape(n, n)
     hy = -SB * yB.sum() + float((rhs * act) @ yC)
+    if dense is not None and dense.h.shape[0] > 0:
+        yD = np.maximum(np.asarray(state.yD, np.float64), 0.0)
+        G = np.asarray(dense.G, np.float64)
+        g = np.asarray(dense.g, np.float64)
+        hD = np.asarray(dense.h, np.float64)
+        gx += g.T @ yD
+        gX += np.einsum("m,mij->ij", yD, G)
+        hy += float(hD @ yD)
     rx = cx - gx
     S = (cX - gX) + (cX - gX).T
     dmin = hy + np.minimum(rx, 0.0).sum() + 0.5 * np.minimum(S, 0.0).sum()

@@ -53,7 +53,8 @@ def init_batched_state(Qb, cb, capacity: int, kmax: int, dtype=jnp.float32):
         lambda a: jnp.broadcast_to(a, (B,) + a.shape), empty_pool(capacity, kmax, dtype)
     )
     st = jax.tree.map(
-        lambda a: jnp.broadcast_to(a, (B,) + a.shape), init_state(n, capacity, dtype)
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        init_state(n, capacity, 0, dtype)
     )
     return BatchedRoundState(
         Q=jnp.asarray(Qb, dtype), c=jnp.asarray(cb, dtype),
@@ -73,8 +74,12 @@ def _single_instance_round(Q, c, pool, st, table_shard, valid_shard,
     normK = estimate_norm(pool, n, 20, dtype)
     eta = 0.9 / normK
 
+    from ..relax.denserows import empty_dense
+
+    dense = empty_dense(n, dtype)
+
     def body(_, s):
-        return _one_iter(cx, cX, pool, n, s, eta, eta)
+        return _one_iter(cx, cX, pool, dense, n, s, eta, eta)
 
     st = jax.lax.fori_loop(0, lp_iters, body, st)
 
@@ -116,7 +121,7 @@ def make_sharded_round_step(mesh: Mesh, lp_iters: int = 50,
             BatchedRoundState(
                 Q=P("data"), c=P("data"),
                 pool=CutPool(*(P("data"),) * 6),
-                pdhg=PDHGState(*(P("data"),) * 5),
+                pdhg=PDHGState(*(P("data"),) * 6),
                 bound=P("data"),
             ),
             P("cand", None),
@@ -125,7 +130,7 @@ def make_sharded_round_step(mesh: Mesh, lp_iters: int = 50,
         out_specs=BatchedRoundState(
             Q=P("data"), c=P("data"),
             pool=CutPool(*(P("data"),) * 6),
-            pdhg=PDHGState(*(P("data"),) * 5),
+            pdhg=PDHGState(*(P("data"),) * 6),
             bound=P("data"),
         ),
         check_vma=False,

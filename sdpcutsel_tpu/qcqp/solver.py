@@ -1,0 +1,132 @@
+"""QCQP cutting-plane solver — reference's ``CutSolverQCQP`` equivalent
+(SURVEY.md sections 0.7, 3.4).
+
+Same round loop as loop/solver.CutSolver, with three differences:
+  * the relaxation carries the linearized quadratic constraint rows
+    1/2 <Qi, X> + ci'x <= bi as a DenseRows block inside the PDHG solve;
+  * the candidate table is NOT all C(n,k) subsets but the <=kmax subsets of
+    the maximal cliques of the chordal extension of the sparsity graph
+    (qcqp/chordal.py), padded to width kmax by repeating the last index
+    (duplicated indices keep Z(rho) PSD-valid: dup(Z) = S'ZS for a
+    selection-with-repetition S, so cuts remain valid and violation carries
+    over);
+  * submatrix dimension kmax goes up to 5 (6x6 eigh — the Jacobi kernel is
+    generic in m).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RunConfig
+from ..cuts.assemble import assemble_Z
+from ..cuts.eigen import batched_eigh_small, feasibility_scores_from_point
+from ..cuts.generate import cuts_from_selected
+from ..instances.qcqp import QCQPInstance
+from ..loop.solver import RoundStats, _select_and_generate
+from ..lp.pdhg import PDHGState, dual_bound_f64, init_state, solve_lp
+from ..relax.cutbuffer import (
+    CutPool, append_cuts, cut_residuals, empty_pool, purge_pool,
+)
+from ..relax.denserows import dense_from_qcqp, empty_dense
+from .chordal import chordal_decomposition, clique_candidates
+
+
+class CutSolverQCQP:
+    def __init__(self, inst: QCQPInstance, cfg: RunConfig,
+                 score_fn: Optional[Callable] = None, dtype=jnp.float32):
+        self.inst = inst
+        self.cfg = cfg
+        self.dtype = dtype
+        n = inst.n
+        self.Q = jnp.asarray(inst.Q0, dtype)
+        self.c = jnp.asarray(inst.c0, dtype)
+        self.dense = (
+            dense_from_qcqp(inst.Qs, inst.cs, inst.bs, dtype)
+            if inst.m > 0 else empty_dense(n, dtype)
+        )
+        cliques, _ = chordal_decomposition(n, inst.sparsity_graph())
+        self.cliques = cliques
+        table_np = clique_candidates(cliques, cfg.cuts.k)
+        if table_np.shape[0] == 0:
+            raise ValueError("no candidate subsets: sparsity graph is empty")
+        self.table = jnp.asarray(table_np)
+        self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
+        self.state: PDHGState = init_state(n, cfg.cuts.capacity, inst.m, dtype)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.history: list[RoundStats] = []
+        self._score_fn = score_fn or self._default_score_fn()
+
+    def _default_score_fn(self) -> Callable:
+        strat = self.cfg.scorer.strategy
+        if strat == "feasibility":
+            return jax.jit(
+                lambda x, X, key: feasibility_scores_from_point(x, X, self.table)
+            )
+        if strat == "random":
+            return lambda x, X, key: jax.random.uniform(
+                key, (self.table.shape[0],), dtype=self.dtype
+            )
+        if strat in ("neural", "combined"):
+            from ..models.scorer import neural_score_fn
+
+            return neural_score_fn(self.Q, self.table, self.cfg.scorer,
+                                   combined=(strat == "combined"))
+        if strat == "optimality":
+            from ..models.labels import exact_score_fn
+
+            return exact_score_fn(self.Q, self.table)
+        raise ValueError(f"unknown strategy: {strat}")
+
+    def do_round(self) -> RoundStats:
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        self.state, info = solve_lp(
+            self.Q, self.c, self.pool, self.state, cfg.lp, dense=self.dense
+        )
+        bound = dual_bound_f64(self.inst.Q0, self.inst.c0, self.pool,
+                               self.state, dense=self.dense)
+
+        x, X = self.state.x, self.state.X
+        self.key, sub = jax.random.split(self.key)
+        scores = self._score_fn(x, X, sub)
+        idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
+            x, X, self.table, scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
+        )
+
+        if cfg.cuts.purge:
+            slack = cut_residuals(x, X, self.pool)
+            self.pool, yC = purge_pool(
+                self.pool, self.state.yC, slack, cfg.cuts.purge_slack_tol
+            )
+            self.state = self.state._replace(yC=yC)
+
+        before = int(self.pool.count)
+        self.pool = append_cuts(self.pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
+        added = int(self.pool.count) - before
+
+        stats = RoundStats(
+            round=len(self.history), bound=bound,
+            lp_iters=int(info["iters"]),
+            lp_kkt_error=float(info["kkt_error"]),
+            cuts_added=added, cuts_active=int(self.pool.count),
+            wall_time_s=time.perf_counter() - t0,
+        )
+        self.history.append(stats)
+        return stats
+
+    def run(self, rounds: Optional[int] = None) -> list[RoundStats]:
+        rounds = rounds if rounds is not None else self.cfg.loop.rounds
+        prev = None
+        for _ in range(rounds):
+            s = self.do_round()
+            if prev is not None:
+                rel = abs(prev - s.bound) / (1.0 + abs(prev))
+                if rel < self.cfg.loop.improvement_tol and s.cuts_added == 0:
+                    break
+            prev = s.bound
+        return self.history

@@ -33,6 +33,7 @@ import math
 import jax.numpy as jnp
 
 from .cutbuffer import CutPool, cut_residuals, cut_adjoint
+from .denserows import DenseRows, dense_residuals, dense_adjoint
 
 SA = 1.0 / math.sqrt(2.0)  # row scaling for rA
 SB = 1.0 / math.sqrt(3.0)  # row scaling for rB
@@ -50,24 +51,33 @@ def mccormick_residuals(x, X):
     return rA, rB
 
 
-def apply_K(x, X, pool: CutPool):
+def apply_K(x, X, pool: CutPool, dense: DenseRows | None = None):
     """Linear part of the scaled constraint map K z (no constant offsets).
 
     Constraint system is  K z >= h  with
-      hA = 0,  hB = -SB,  hC = pool.rhs (cut rows are unit-normalized).
+      hA = 0,  hB = -SB,  hC = pool.rhs (cut rows unit-normalized),
+      hD = dense.h (QCQP rows, relax/denserows.py).
     """
     kA = SA * (x[:, None] - X)
     kB = SB * (X - x[:, None] - x[None, :])
     kC = cut_residuals(x, X, pool, include_rhs=False)
-    return kA, kB, kC
+    if dense is None:
+        return kA, kB, kC
+    kD = dense_residuals(x, X, dense, include_rhs=False)
+    return kA, kB, kC, kD
 
 
-def apply_KT(yA, yB, yC, pool: CutPool, n: int):
+def apply_KT(yA, yB, yC, pool: CutPool, n: int, yD=None,
+             dense: DenseRows | None = None):
     """Adjoint K^T y -> (gx: (n,), gX: (n,n))."""
     gx = SA * jnp.sum(yA, axis=1) - SB * (jnp.sum(yB, axis=1) + jnp.sum(yB, axis=0))
     gX = -SA * yA + SB * yB
     cx, cX = cut_adjoint(yC, pool, n)
-    return gx + cx, gX + cX
+    gx, gX = gx + cx, gX + cX
+    if dense is not None and yD is not None:
+        dx, dX = dense_adjoint(yD, dense)
+        gx, gX = gx + dx, gX + dX
+    return gx, gX
 
 
 def project_primal(x, X):
