@@ -70,8 +70,24 @@ def generate_spar(n: int, density: int, seed: int) -> BoxQPInstance:
     return BoxQPInstance(name=name, Q=Q, c=c)
 
 
-def parse_boxqp(path: str, name: str | None = None) -> BoxQPInstance:
-    """Parse the standard BoxQP .in format (see module docstring)."""
+def parse_boxqp(path: str, name: str | None = None,
+                use_native: bool = True) -> BoxQPInstance:
+    """Parse the standard BoxQP .in format (see module docstring).
+
+    Uses the C++ reader (native/boxqp_io.cpp) when built — the suite data
+    loader reads 100+ instances per experiment — with a transparent Python
+    fallback."""
+    if use_native:
+        from ..native import boxqp_parse_native
+
+        out = boxqp_parse_native(path)
+        if out is not None:
+            Q, c = out
+            if not np.allclose(Q, Q.T):
+                Q = 0.5 * (Q + Q.T)
+            if name is None:
+                name = os.path.splitext(os.path.basename(path))[0]
+            return BoxQPInstance(name=name, Q=Q, c=c)
     with open(path) as f:
         tokens = f.read().split()
     n = int(tokens[0])

