@@ -18,33 +18,45 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import numpy as np
 
 
-def tpu_scoring_rate(n=125, k=3, repeats=10):
+def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=10):
+    """Sustained scoring rate: the fused Pallas kernel (ops/fused_score.py)
+    run ``rounds_per_dispatch`` times inside one jit with a loop-carried
+    dependence (matching production, where rounds run back-to-back on device;
+    the dependence defeats loop hoisting so every pass really executes)."""
     import jax
     import jax.numpy as jnp
 
     from sdpcutsel_tpu.config import ScorerConfig
-    from sdpcutsel_tpu.cuts.eigen import feasibility_scores_from_point
     from sdpcutsel_tpu.cuts.enumerate import combinations_table
     from sdpcutsel_tpu.instances import generate_spar
-    from sdpcutsel_tpu.models.features import candidate_features, candidate_q_features
-    from sdpcutsel_tpu.models.scorer import MLPScorer, load_params
+    from sdpcutsel_tpu.models.features import candidate_q_features
+    from sdpcutsel_tpu.models.scorer import load_params
+    from sdpcutsel_tpu.ops.fused_score import fused_score_k3, mlp_params_for_kernel
+    from sdpcutsel_tpu.parallel.sharding import pad_table
     from sdpcutsel_tpu.utils.profiling import timed
 
     inst = generate_spar(n, 100, 1)
     Q = jnp.asarray(inst.Q, jnp.float32)
-    table = jnp.asarray(combinations_table(n, k))
+    block = 1024
+    tbl_np, _ = pad_table(combinations_table(n, k), block)
+    table = jnp.asarray(tbl_np)
     T = table.shape[0]
     cfg = ScorerConfig()
     params, _ = load_params(k, tuple(cfg.hidden))
-    model = MLPScorer(hidden=tuple(cfg.hidden))
     triQ, scale = candidate_q_features(Q, table)
+    W = [jnp.asarray(a) for a in mlp_params_for_kernel(params)]
+
+    R = rounds_per_dispatch
 
     @jax.jit
-    def score_all(x, X):
-        feats = candidate_features(triQ, x, X, table)
-        nn = scale * jnp.maximum(model.apply(params, feats), 0.0)
-        feas = feasibility_scores_from_point(x, X, table)
-        return nn, feas
+    def sustained(x, X):
+        def body(i, acc):
+            nn, feas = fused_score_k3(
+                x + acc * 1e-12, X, table, triQ, scale, *W,
+                block=block, sweeps=5,
+            )
+            return acc + feas.sum() + nn.sum()
+        return jax.lax.fori_loop(0, R, body, 0.0)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random(n), jnp.float32)
@@ -52,8 +64,8 @@ def tpu_scoring_rate(n=125, k=3, repeats=10):
                             + 0.2 * rng.standard_normal((n, n)), 0, 1), jnp.float32)
     X = 0.5 * (X + X.T)
 
-    sec, _ = timed(score_all, x, X, repeats=repeats)
-    return T / sec
+    sec, _ = timed(sustained, x, X, repeats=repeats)
+    return R * T / sec
 
 
 def cpu_scoring_rate(n=125, k=3, sample=30_000):

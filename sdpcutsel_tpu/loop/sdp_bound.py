@@ -3,16 +3,20 @@
 The reference's headline metric is % of the (initial McCormick bound - SDP
 bound) gap closed (SURVEY.md section 0.5), which needs the SDP relaxation
 value  max 1/2<Q,X> + c'x  s.t. McCormick, Z = [[1,x'],[x,X]] >= 0.  The
-reference obtained it from an external SDP solver; the TPU-native route reuses
-our own machinery: a cutting-plane loop whose single candidate is the FULL
-index set — each round eigendecomposes the (n+1)x(n+1) moment matrix at the LP
-optimum and adds one dense cut per negative eigenvalue.  This outer
-polyhedral approximation converges to the SDP bound from above (classical
-Krein-Milman/outer-approximation argument); we stop at lambda_min(Z) >= -tol,
-so the reported value is a certified UPPER bound on the true SDP value within
-the LP dual tolerance.
+reference obtained it from an external SDP solver; the TPU-native route
+reuses our own machinery: a cutting-plane loop whose single candidate is the
+FULL index set — each round eigendecomposes the (n+1)x(n+1) moment matrix at
+the LP optimum and adds one dense cut per negative eigenvalue.  This outer
+polyhedral approximation converges to the SDP bound from above; we stop at
+lambda_min(Z) >= -tol, so the reported value is a certified UPPER bound on
+the true SDP value within the LP dual tolerance.
 
-The same CutPool machinery is reused with kmax = n (cut support = everything).
+Representation matters: a full-dimensional cut touches EVERY entry of X, so
+the sparse-support CutPool (per-row gathers) is pure overhead — cuts here go
+into a fixed-capacity DenseRows block (v' Z v >= 0 expands to
+<u u', X> + 2 v0 u'x >= -v0^2, i.e. one dense (n, n) coefficient matrix per
+cut) whose matvec is a single einsum on the MXU.  Zero rows are inert, so
+the preallocated buffer is mask-free.
 """
 
 from __future__ import annotations
@@ -22,11 +26,48 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LPConfig
-from ..cuts.assemble import assemble_Z
-from ..cuts.generate import cuts_from_selected
 from ..instances.boxqp import BoxQPInstance
 from ..lp.pdhg import dual_bound_f64, init_state, solve_lp
-from ..relax.cutbuffer import append_cuts, cut_residuals, empty_pool, purge_pool
+from ..relax.cutbuffer import empty_pool
+from ..relax.denserows import DenseRows
+
+
+def _empty_dense_cuts(n: int, capacity: int, dtype):
+    return DenseRows(
+        G=jnp.zeros((capacity, n, n), dtype=dtype),
+        g=jnp.zeros((capacity, n), dtype=dtype),
+        h=jnp.zeros((capacity,), dtype=dtype),
+    )
+
+
+@jax.jit
+def _gen_dense_cuts(x, X, dense: DenseRows, count, eig_tol):
+    """Eigendecompose Z at (x, X); append one unit-norm dense row per
+    negative eigenvalue at positions count.. (scatter, drop on overflow)."""
+    n = x.shape[0]
+    Z = jnp.concatenate(
+        [jnp.concatenate([jnp.ones((1, 1), x.dtype), x[None, :]], axis=1),
+         jnp.concatenate([x[:, None], X], axis=1)], axis=0
+    )
+    w, V = jnp.linalg.eigh(Z)            # ascending; columns are eigvecs
+    v0 = V[0, :]                          # (n+1,)
+    U = V[1:, :]                          # (n, n+1)
+    # cut j: <u_j u_j', X> + 2 v0_j u_j' x >= -v0_j^2
+    G = U.T[:, :, None] * U.T[:, None, :]            # (n+1, n, n)
+    g = 2.0 * v0[:, None] * U.T                      # (n+1, n)
+    h = -(v0 ** 2)                                   # (n+1,)
+    nrm = jnp.sqrt(jnp.sum(G**2, axis=(1, 2)) + jnp.sum(g**2, axis=1)) + 1e-30
+    G, g, h = G / nrm[:, None, None], g / nrm[:, None], h / nrm
+    valid = w < -eig_tol
+    dest = count + jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid, dest, dense.h.shape[0])  # drop invalid/overflow
+    new = DenseRows(
+        G=dense.G.at[dest].set(G, mode="drop"),
+        g=dense.g.at[dest].set(g, mode="drop"),
+        h=dense.h.at[dest].set(h, mode="drop"),
+    )
+    ncut = jnp.sum(valid.astype(jnp.int32))
+    return new, jnp.minimum(count + ncut, dense.h.shape[0]), w[0]
 
 
 def sdp_relaxation_bound(
@@ -43,39 +84,29 @@ def sdp_relaxation_bound(
     n = inst.n
     Q = jnp.asarray(inst.Q, dtype)
     c = jnp.asarray(inst.c, dtype)
-    full = jnp.arange(n, dtype=jnp.int32)[None, :]   # single candidate (1, n)
 
-    pool = empty_pool(capacity, n, dtype)
-    state = init_state(n, capacity, 0, dtype)
-
-    @jax.jit
-    def gen_cuts(x, X):
-        Z = assemble_Z(x, X, full)          # (1, n+1, n+1)
-        w, V = jnp.linalg.eigh(Z)
-        rows = cuts_from_selected(full, w, V, eig_tol)
-        return rows, w[0, 0]
+    pool = empty_pool(1, 1, dtype)          # no sparse cuts in this loop
+    dense = _empty_dense_cuts(n, capacity, dtype)
+    count = jnp.zeros((), jnp.int32)
+    state = init_state(n, 1, capacity, dtype)
 
     history = []
     bound0 = None
     for r in range(max_rounds):
-        state, info = solve_lp(Q, c, pool, state, lp_cfg)
-        bound = dual_bound_f64(inst.Q, inst.c, pool, state)
+        state, info = solve_lp(Q, c, pool, state, lp_cfg, dense=dense)
+        bound = dual_bound_f64(inst.Q, inst.c, pool, state, dense=dense)
         if bound0 is None:
             bound0 = bound
-        (idx_r, lin_r, quad_r, rhs_r, valid_r), lam_min = gen_cuts(
-            state.x, state.X
+        dense, count, lam_min = _gen_dense_cuts(
+            state.x, state.X, dense, count, eig_tol
         )
         lam_min = float(lam_min)
         history.append({"round": r, "bound": bound, "lam_min": lam_min})
         if verbose:
             print(f"[sdp_bound] round {r}: bound={bound:.6f} "
-                  f"lam_min={lam_min:.2e} cuts={int(pool.count)}")
+                  f"lam_min={lam_min:.2e} cuts={int(count)}")
         if lam_min >= -eig_tol:
             break
-        slack = cut_residuals(state.x, state.X, pool)
-        pool, yC = purge_pool(pool, state.yC, slack, slack_tol=1e-5)
-        state = state._replace(yC=yC)
-        pool = append_cuts(pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
 
     return history[-1]["bound"], bound0, history
 

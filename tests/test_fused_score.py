@@ -1,0 +1,51 @@
+"""Pallas fused scoring kernel vs the reference jnp path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdpcutsel_tpu.config import ScorerConfig
+from sdpcutsel_tpu.cuts.eigen import feasibility_scores_from_point
+from sdpcutsel_tpu.cuts.enumerate import combinations_table
+from sdpcutsel_tpu.models.features import candidate_features, candidate_q_features
+from sdpcutsel_tpu.models.scorer import MLPScorer, load_params
+from sdpcutsel_tpu.ops.fused_score import fused_score_k3, mlp_params_for_kernel
+from sdpcutsel_tpu.parallel.sharding import pad_table
+
+
+def test_fused_score_matches_jnp_path():
+    n, k, block = 16, 3, 1024
+    rng = np.random.default_rng(0)
+    Q = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    Q = 0.5 * (Q + Q.T)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    X = jnp.asarray(
+        np.clip(np.outer(x, x) + 0.3 * rng.standard_normal((n, n)), 0, 1),
+        jnp.float32,
+    )
+    X = 0.5 * (X + X.T)
+
+    tbl_np = combinations_table(n, k)          # (560, 3)
+    tbl_pad, valid = pad_table(tbl_np, block)  # pad 560 -> 1024
+    table = jnp.asarray(tbl_pad)
+
+    cfg = ScorerConfig()
+    params, _ = load_params(k, tuple(cfg.hidden))
+    triQ, scale = candidate_q_features(Q, table)
+    W1, b1, W2, b2, W3, b3 = mlp_params_for_kernel(params)
+
+    nn, feas = fused_score_k3(
+        x, X, table, triQ, scale, W1, b1, W2, b2, W3, b3,
+        block=block, interpret=True,
+    )
+
+    # reference jnp path
+    feas_ref = feasibility_scores_from_point(x, X, table)
+    model = MLPScorer(hidden=tuple(cfg.hidden))
+    feats = candidate_features(triQ, x, X, table)
+    nn_ref = scale * jnp.maximum(model.apply(params, feats), 0.0)
+
+    np.testing.assert_allclose(np.asarray(feas), np.asarray(feas_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nn), np.asarray(nn_ref),
+                               rtol=2e-4, atol=2e-5)
