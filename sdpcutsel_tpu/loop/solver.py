@@ -118,6 +118,11 @@ class CutSolver:
         cfg = self.cfg
         self.state, info = solve_lp(self.Q, self.c, self.pool, self.state, cfg.lp)
         bound = dual_bound_f64(self.inst.Q, self.inst.c, self.pool, self.state)
+        # every certificate is valid, so the running minimum is too — report
+        # it to keep the bound sequence monotone even when a later, harder LP
+        # stops at max_iters with less-converged duals
+        if self.history:
+            bound = min(bound, self.history[-1].bound)
 
         x, X = self.state.x, self.state.X
         self.key, sub = jax.random.split(self.key)
@@ -154,12 +159,58 @@ class CutSolver:
         prev = None
         for _ in range(rounds):
             s = self.do_round()
+            self._maybe_checkpoint()
             if prev is not None:
                 rel = abs(prev - s.bound) / (1.0 + abs(prev))
                 if rel < self.cfg.loop.improvement_tol and s.cuts_added == 0:
                     break
             prev = s.bound
         return self.history
+
+    # -- checkpoint/resume (SURVEY.md section 5.4) --------------------------
+    def _checkpoint_path(self) -> Optional[str]:
+        lc = self.cfg.loop
+        if not lc.checkpoint_every or not lc.checkpoint_dir:
+            return None
+        import os
+
+        return os.path.join(lc.checkpoint_dir, f"{self.inst.name}.ck")
+
+    def _maybe_checkpoint(self):
+        path = self._checkpoint_path()
+        if path is None:
+            return
+        if len(self.history) % self.cfg.loop.checkpoint_every == 0:
+            self.checkpoint(path)
+
+    def checkpoint(self, path: str):
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path, self.pool, self.state, self.key,
+            [dataclasses.asdict(h) for h in self.history],
+            {"instance": self.inst.name, "strategy": self.cfg.scorer.strategy},
+        )
+
+    def restore(self, path: str):
+        """Resume from a snapshot written by checkpoint() — the loop is
+        round-granular restartable (cut pool + PDHG warm start + RNG key +
+        history)."""
+        import jax.numpy as jnp
+
+        from ..utils.checkpoint import load_checkpoint
+
+        pd, sd, key, hist, meta = load_checkpoint(path)
+        if meta.get("instance") != self.inst.name:
+            raise ValueError(
+                f"checkpoint is for {meta.get('instance')}, "
+                f"not {self.inst.name}"
+            )
+        self.pool = CutPool(**{f: jnp.asarray(v) for f, v in pd.items()})
+        self.state = PDHGState(**{f: jnp.asarray(v) for f, v in sd.items()})
+        self.key = jnp.asarray(key)
+        self.history = [RoundStats(**h) for h in hist]
+        return self
 
     @property
     def bounds(self) -> np.ndarray:

@@ -307,7 +307,20 @@ def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState,
         gx += g.T @ yD
         gX += np.einsum("m,mij->ij", yD, G)
         hy += float(hD @ yD)
-    rx = cx - gx
-    S = (cX - gX) + (cX - gX).T
-    dmin = hy + np.minimum(rx, 0.0).sum() + 0.5 * np.minimum(S, 0.0).sum()
+
+    # Dual polish: D(t*y) is concave in the scaling t >= 0 (linear term plus
+    # a min of affine functions), and when PDHG has not fully converged the
+    # best certificate is often at t != 1.  Any t yields a VALID bound, so a
+    # grid maximization only tightens the reported number, never risks it.
+    Ssym = cX + cX.T
+    Gsym = gX + gX.T
+
+    def D(t):
+        rx_t = cx - t * gx
+        S_t = Ssym - t * Gsym
+        return (t * hy + np.minimum(rx_t, 0.0).sum()
+                + 0.5 * np.minimum(S_t, 0.0).sum())
+
+    ts = np.concatenate([[1.0], np.geomspace(0.25, 4.0, 15)])
+    dmin = max(D(float(t)) for t in ts)
     return float(-dmin)  # max-form upper bound

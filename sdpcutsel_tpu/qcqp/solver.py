@@ -90,6 +90,8 @@ class CutSolverQCQP:
         )
         bound = dual_bound_f64(self.inst.Q0, self.inst.c0, self.pool,
                                self.state, dense=self.dense)
+        if self.history:
+            bound = min(bound, self.history[-1].bound)
 
         x, X = self.state.x, self.state.X
         self.key, sub = jax.random.split(self.key)

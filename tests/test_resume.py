@@ -1,0 +1,50 @@
+"""Checkpoint/resume of the cutting-plane loop: interrupted == uninterrupted."""
+
+import numpy as np
+
+from sdpcutsel_tpu.config import CutConfig, LPConfig, LoopConfig, RunConfig, ScorerConfig
+from sdpcutsel_tpu.instances import generate_spar
+from sdpcutsel_tpu.loop import CutSolver
+
+
+def _cfg(tmp=None):
+    return RunConfig(
+        lp=LPConfig(max_iters=8000, tol=2e-6),
+        cuts=CutConfig(k=3, sel_size=8, capacity=128),
+        scorer=ScorerConfig(strategy="feasibility"),
+        loop=LoopConfig(rounds=4, checkpoint_every=1,
+                        checkpoint_dir=str(tmp) if tmp else None),
+    )
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    inst = generate_spar(12, 100, 3)
+
+    # uninterrupted: 4 rounds
+    ref = CutSolver(inst, _cfg())
+    ref.run(rounds=4)
+    ref_bounds = np.asarray([h.bound for h in ref.history])
+
+    # interrupted after 2 rounds, resumed in a fresh solver
+    a = CutSolver(inst, _cfg(tmp_path))
+    a.run(rounds=2)
+    ck = a._checkpoint_path()
+
+    b = CutSolver(inst, _cfg(tmp_path)).restore(ck)
+    assert len(b.history) == 2
+    b.run(rounds=2)
+    b_bounds = np.asarray([h.bound for h in b.history])
+
+    assert len(b_bounds) == 4
+    np.testing.assert_allclose(b_bounds, ref_bounds, rtol=1e-5)
+
+
+def test_restore_rejects_wrong_instance(tmp_path):
+    import pytest
+
+    inst = generate_spar(12, 100, 3)
+    a = CutSolver(inst, _cfg(tmp_path))
+    a.run(rounds=1)
+    other = generate_spar(12, 100, 4)
+    with pytest.raises(ValueError, match="checkpoint is for"):
+        CutSolver(other, _cfg(tmp_path)).restore(a._checkpoint_path())
