@@ -83,7 +83,16 @@ class CutSolver:
         n = inst.n
         self.Q = jnp.asarray(inst.Q, dtype)
         self.c = jnp.asarray(inst.c, dtype)
-        self.table = jnp.asarray(combinations_table(n, cfg.cuts.k))
+        # pad the candidate table to the fused kernel's block multiple; padded
+        # rows are masked out of every strategy's scores
+        from ..parallel.sharding import pad_table
+
+        tbl_np, valid_np = pad_table(combinations_table(n, cfg.cuts.k), 1024)
+        self.table = jnp.asarray(tbl_np)
+        self.table_valid = jnp.asarray(valid_np)
+        self._use_fused = (
+            cfg.cuts.k == 3 and jax.default_backend() == "tpu"
+        )
         self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
         self.state: PDHGState = init_state(n, cfg.cuts.capacity, 0, dtype)
         self.key = jax.random.PRNGKey(cfg.seed)
@@ -93,26 +102,66 @@ class CutSolver:
     # -- scoring strategies -------------------------------------------------
     def _default_score_fn(self) -> Callable:
         strat = self.cfg.scorer.strategy
+        neg = jnp.asarray(-jnp.inf, self.dtype)
+        valid = self.table_valid
+
+        def masked(s):
+            return jnp.where(valid, s, neg)
+
+        if self._use_fused and strat in ("neural", "feasibility", "combined"):
+            from ..models.scorer import make_fused_scorer
+
+            fused = make_fused_scorer(self.Q, self.table, self.cfg.scorer)
+
+            def score(x, X, key):
+                nn, feas = fused(x, X)
+                if strat == "feasibility":
+                    return masked(feas)
+                if strat == "combined":
+                    return masked(jnp.where(feas > 0.0, nn, neg))
+                return masked(nn)
+
+            return score
+
         if strat == "feasibility":
-            return lambda x, X, key: _feasibility_all(x, X, self.table)
+            return lambda x, X, key: masked(_feasibility_all(x, X, self.table))
         if strat == "random":
-            return lambda x, X, key: jax.random.uniform(
+            return lambda x, X, key: masked(jax.random.uniform(
                 key, (self.table.shape[0],), dtype=self.dtype
-            )
+            ))
         if strat in ("neural", "combined"):
             from ..models.scorer import neural_score_fn
 
-            return neural_score_fn(
+            fn = neural_score_fn(
                 self.Q, self.table, self.cfg.scorer,
                 combined=(strat == "combined"),
             )
+            return lambda x, X, key: masked(fn(x, X, key))
         if strat == "optimality":
             from ..models.labels import exact_score_fn
 
-            return exact_score_fn(self.Q, self.table)
+            fn = exact_score_fn(self.Q, self.table)
+            return lambda x, X, key: masked(fn(x, X, key))
         raise ValueError(f"unknown strategy: {strat}")
 
     # -- one round ----------------------------------------------------------
+    def _post_lp(self, x, X, pool, yC, key):
+        """Fused post-solve stage: score ALL candidates -> top-k -> eigh of
+        selected -> cut rows -> purge -> append, in ONE jit dispatch (the
+        per-dispatch floor through this setup's tunnel is ~30 ms, so stage
+        fusion matters as much as kernel speed — SURVEY.md section 3.5)."""
+        cfg = self.cfg
+        scores = self._score_fn(x, X, key)
+        idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
+            x, X, self.table, scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
+        )
+        if cfg.cuts.purge:
+            slack = cut_residuals(x, X, pool)
+            pool, yC = purge_pool(pool, yC, slack, cfg.cuts.purge_slack_tol)
+        kept = pool.count
+        pool = append_cuts(pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
+        return pool, yC, kept
+
     def do_round(self) -> RoundStats:
         t0 = time.perf_counter()
         cfg = self.cfg
@@ -124,23 +173,14 @@ class CutSolver:
         if self.history:
             bound = min(bound, self.history[-1].bound)
 
-        x, X = self.state.x, self.state.X
         self.key, sub = jax.random.split(self.key)
-        scores = self._score_fn(x, X, sub)
-        idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
-            x, X, self.table, scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
+        if not hasattr(self, "_post_lp_jit"):
+            self._post_lp_jit = jax.jit(self._post_lp)
+        self.pool, yC, kept = self._post_lp_jit(
+            self.state.x, self.state.X, self.pool, self.state.yC, sub
         )
-
-        if cfg.cuts.purge:
-            slack = cut_residuals(x, X, self.pool)
-            self.pool, yC = purge_pool(
-                self.pool, self.state.yC, slack, cfg.cuts.purge_slack_tol
-            )
-            self.state = self.state._replace(yC=yC)
-
-        before = int(self.pool.count)
-        self.pool = append_cuts(self.pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
-        added = int(self.pool.count) - before
+        self.state = self.state._replace(yC=yC)
+        added = int(self.pool.count) - int(kept)
 
         stats = RoundStats(
             round=len(self.history),

@@ -288,39 +288,61 @@ def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState,
 
     cx = -c
     cX = -0.5 * Q
-    gx = SA * yA.sum(1) - SB * (yB.sum(1) + yB.sum(0))
-    gX = -SA * yA + SB * yB
-    np.add.at(gx, idx.ravel(), (yC[:, None] * lin).ravel())
+
+    # per-block adjoint parts (A = McCormick upper rows, B = lower rows,
+    # C = sparse cuts, D = dense rows): the certificate is separately
+    # 1-homogeneous in each block's dual, so block scalings are free knobs
+    gxA = SA * yA.sum(1)
+    gXA = -SA * yA
+    hyA = 0.0
+    gxB = -SB * (yB.sum(1) + yB.sum(0))
+    gXB = SB * yB
+    hyB = -SB * yB.sum()
+    gxC = np.zeros(n)
+    np.add.at(gxC, idx.ravel(), (yC[:, None] * lin).ravel())
     flat = np.zeros(n * n)
     np.add.at(
         flat,
         (idx[:, :, None] * n + idx[:, None, :]).ravel(),
         (yC[:, None, None] * quad).ravel(),
     )
-    gX += flat.reshape(n, n)
-    hy = -SB * yB.sum() + float((rhs * act) @ yC)
+    gXC = flat.reshape(n, n)
+    hyC = float((rhs * act) @ yC)
+    blocks = [(hyA, gxA, gXA), (hyB, gxB, gXB), (hyC, gxC, gXC)]
     if dense is not None and dense.h.shape[0] > 0:
         yD = np.maximum(np.asarray(state.yD, np.float64), 0.0)
         G = np.asarray(dense.G, np.float64)
         g = np.asarray(dense.g, np.float64)
         hD = np.asarray(dense.h, np.float64)
-        gx += g.T @ yD
-        gX += np.einsum("m,mij->ij", yD, G)
-        hy += float(hD @ yD)
+        blocks.append((float(hD @ yD), g.T @ yD,
+                       np.einsum("m,mij->ij", yD, G)))
 
-    # Dual polish: D(t*y) is concave in the scaling t >= 0 (linear term plus
-    # a min of affine functions), and when PDHG has not fully converged the
-    # best certificate is often at t != 1.  Any t yields a VALID bound, so a
-    # grid maximization only tightens the reported number, never risks it.
+    # Dual polish: D(t1*yA, t2*yB, ...) is jointly concave in the per-block
+    # scalings (linear + min of affines), and when PDHG is not fully
+    # converged the best certificate sits away from t = 1.  ANY t >= 0 gives
+    # a VALID bound, so coordinate-ascent over a grid only tightens the
+    # reported number, never risks it.
     Ssym = cX + cX.T
-    Gsym = gX + gX.T
+    hys = np.array([b[0] for b in blocks])
+    gxs = np.stack([b[1] for b in blocks])
+    gSs = np.stack([b[2] + b[2].T for b in blocks])
 
-    def D(t):
-        rx_t = cx - t * gx
-        S_t = Ssym - t * Gsym
-        return (t * hy + np.minimum(rx_t, 0.0).sum()
+    def D(ts):
+        rx_t = cx - np.tensordot(ts, gxs, axes=1)
+        S_t = Ssym - np.tensordot(ts, gSs, axes=1)
+        return (float(ts @ hys) + np.minimum(rx_t, 0.0).sum()
                 + 0.5 * np.minimum(S_t, 0.0).sum())
 
-    ts = np.concatenate([[1.0], np.geomspace(0.25, 4.0, 15)])
-    dmin = max(D(float(t)) for t in ts)
-    return float(-dmin)  # max-form upper bound
+    nb = len(blocks)
+    ts = np.ones(nb)
+    best = D(ts)
+    grid = np.concatenate([[1.0], np.geomspace(0.5, 2.0, 7)])
+    for _ in range(2):  # coordinate-ascent passes
+        for b in range(nb):
+            for t in grid:
+                cand = ts.copy()
+                cand[b] = ts[b] * t
+                v = D(cand)
+                if v > best:
+                    best, ts = v, cand
+    return float(-best)  # max-form upper bound

@@ -65,6 +65,29 @@ def load_params(k: int, hidden=(64, 64), path: str | None = None, seed: int = 0)
     return template, False
 
 
+def make_fused_scorer(Q, table, cfg: ScorerConfig):
+    """Fused Pallas scorer for k=3 on TPU: one kernel pass returns BOTH the
+    NN improvement estimate and the feasibility violation for every
+    candidate (ops/fused_score.py).  The table must be padded to a multiple
+    of 1024 rows (parallel.sharding.pad_table).  Returns
+    score(x, X) -> (nn_scores, feas_scores)."""
+    import jax.numpy as jnp
+
+    from ..ops.fused_score import fused_score_k3, mlp_params_for_kernel
+
+    k = int(table.shape[1])
+    assert k == 3, "fused scorer is the k=3 specialization"
+    params, _ = load_params(k, tuple(cfg.hidden), cfg.weights_path, cfg.seed)
+    triQ, scale = candidate_q_features(Q, table)
+    W = [jnp.asarray(a) for a in mlp_params_for_kernel(params)]
+
+    def score(x, X):
+        return fused_score_k3(x, X, table, triQ, scale, *W,
+                              block=1024, sweeps=5)
+
+    return score
+
+
 def neural_score_fn(Q, table, cfg: ScorerConfig, combined: bool = False):
     """Build the jitted all-candidates scorer for one instance.
 
