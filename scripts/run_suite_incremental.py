@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--lp-max-iters", type=int, default=20000)
     ap.add_argument("--sdp-max-rounds", type=int, default=60)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--max-cells", type=int, default=0,
+                    help="stop after N new cells (0 = unlimited); lets runs "
+                         "exit cleanly inside an external time budget instead "
+                         "of being killed mid-TPU-dispatch")
     args = ap.parse_args()
 
     if args.cpu:
@@ -70,18 +74,25 @@ def main():
                     done.add((r["instance"], r["strategy"]))
 
     logger = JSONLLogger(args.out)
+    completed = 0
     for name in names:
         for strat in strategies:
             if (name, strat) in done:
                 continue
+            if args.max_cells and completed >= args.max_cells:
+                print(f"[suite] cell budget reached ({completed})", flush=True)
+                logger.close()
+                return
             cfg = RunConfig(
                 lp=LPConfig(max_iters=args.lp_max_iters, tol=2e-6),
                 cuts=CutConfig(k=3, sel_size=args.sel_size, capacity=2048),
                 scorer=ScorerConfig(strategy=strat),
             )
             rec = instance_gap_closed(
-                name, cfg, args.data_dir, rounds=args.rounds, logger=logger
+                name, cfg, args.data_dir, rounds=args.rounds, logger=logger,
+                sdp_max_rounds=args.sdp_max_rounds,
             )
+            completed += 1
             print(f"[suite] {name} {strat}: "
                   f"final_gap_closed={rec['final_gap_closed']:.3f} "
                   f"t={rec['wall_time_s']:.1f}s", flush=True)

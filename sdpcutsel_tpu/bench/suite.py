@@ -52,10 +52,11 @@ def ensure_bounds(name: str, data_dir: str, lp_cfg=None, max_rounds: int = 120):
 
 
 def instance_gap_closed(name: str, cfg: RunConfig, data_dir: str,
-                        rounds: int | None = None, logger: JSONLLogger | None = None):
+                        rounds: int | None = None, logger: JSONLLogger | None = None,
+                        sdp_max_rounds: int = 120):
     """Run one (instance, strategy); returns dict with per-round gap closed."""
     inst = load_or_generate(name, data_dir=data_dir)
-    mc, sdp = ensure_bounds(name, data_dir, cfg.lp)
+    mc, sdp = ensure_bounds(name, data_dir, cfg.lp, sdp_max_rounds)
     t0 = time.perf_counter()
     solver = CutSolver(inst, cfg)
     hist = solver.run(rounds)

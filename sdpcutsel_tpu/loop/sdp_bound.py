@@ -71,7 +71,7 @@ def _gen_dense_cuts(x, X, dense: DenseRows, count, eig_tol):
 
 
 def sdp_relaxation_bound(
-    inst: BoxQPInstance,
+    inst,
     lp_cfg: LPConfig | None = None,
     max_rounds: int = 120,
     eig_tol: float = 1e-4,
@@ -79,22 +79,39 @@ def sdp_relaxation_bound(
     dtype=jnp.float32,
     verbose: bool = False,
 ):
-    """Returns (sdp_bound, initial_mccormick_bound, history list)."""
+    """Returns (sdp_bound, initial_relaxation_bound, history list).
+
+    Accepts a BoxQP instance (Q, c) or a QCQP instance (Q0, c0, constraint
+    rows become a DenseRows prefix of the eigencut buffer)."""
     lp_cfg = lp_cfg or LPConfig()
     n = inst.n
-    Q = jnp.asarray(inst.Q, dtype)
-    c = jnp.asarray(inst.c, dtype)
+    is_qcqp = hasattr(inst, "Q0")
+    Qnp = inst.Q0 if is_qcqp else inst.Q
+    cnp = inst.c0 if is_qcqp else inst.c
+    Q = jnp.asarray(Qnp, dtype)
+    c = jnp.asarray(cnp, dtype)
 
     pool = empty_pool(1, 1, dtype)          # no sparse cuts in this loop
     dense = _empty_dense_cuts(n, capacity, dtype)
     count = jnp.zeros((), jnp.int32)
+    if is_qcqp and inst.m > 0:
+        from ..relax.denserows import dense_from_qcqp
+
+        qrows = dense_from_qcqp(inst.Qs, inst.cs, inst.bs, dtype)
+        m = qrows.h.shape[0]
+        dense = DenseRows(
+            G=dense.G.at[:m].set(qrows.G),
+            g=dense.g.at[:m].set(qrows.g),
+            h=dense.h.at[:m].set(qrows.h),
+        )
+        count = jnp.asarray(m, jnp.int32)
     state = init_state(n, 1, capacity, dtype)
 
     history = []
     bound0 = None
     for r in range(max_rounds):
         state, info = solve_lp(Q, c, pool, state, lp_cfg, dense=dense)
-        bound = dual_bound_f64(inst.Q, inst.c, pool, state, dense=dense)
+        bound = dual_bound_f64(Qnp, cnp, pool, state, dense=dense)
         if bound0 is None:
             bound0 = bound
         dense, count, lam_min = _gen_dense_cuts(
