@@ -153,6 +153,17 @@ def make_sharded_round_step(mesh: Mesh, lp_iters: int = 50,
     return apply
 
 
+def bucket_instances(instances):
+    """Group instances by n for batched solving (SURVEY.md section 7:
+    instance batching is per-size-bucket — XLA needs one static n per
+    compiled program; padding across n would waste quadratic work).
+    Returns {n: [instances]} with deterministic ordering."""
+    buckets: dict[int, list] = {}
+    for inst in instances:
+        buckets.setdefault(inst.n, []).append(inst)
+    return dict(sorted(buckets.items()))
+
+
 def shard_batched_state(state: BatchedRoundState, mesh: Mesh):
     """Place a batched state with instance leaves sharded over 'data'."""
     sh = NamedSharding(mesh, P("data"))
