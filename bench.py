@@ -48,8 +48,11 @@ def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=10):
 
     R = rounds_per_dispatch
 
+    # everything an ARGUMENT (not a closure constant): retrained weights or a
+    # different instance then hit the same cached compile instead of a fresh
+    # multi-minute remote compile
     @jax.jit
-    def sustained(x, X):
+    def sustained(x, X, table, triQ, scale, *W):
         def body(i, acc):
             nn, feas = fused_score_k3(
                 x + acc * 1e-12, X, table, triQ, scale, *W,
@@ -64,7 +67,7 @@ def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=10):
                             + 0.2 * rng.standard_normal((n, n)), 0, 1), jnp.float32)
     X = 0.5 * (X + X.T)
 
-    sec, _ = timed(sustained, x, X, repeats=repeats)
+    sec, _ = timed(sustained, x, X, table, triQ, scale, *W, repeats=repeats)
     return R * T / sec
 
 

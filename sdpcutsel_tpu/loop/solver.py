@@ -100,35 +100,53 @@ class CutSolver:
         self._score_fn = score_fn or self._default_score_fn()
 
     # -- scoring strategies -------------------------------------------------
+    # Score functions take (x, X, key, consts) where ``consts`` is a pytree
+    # of per-instance arrays (table, triQ, scale, MLP weights, ...) that is
+    # passed THROUGH the jit as arguments: baking them as closure constants
+    # would force a fresh multi-minute remote compile for every instance.
     def _default_score_fn(self) -> Callable:
         strat = self.cfg.scorer.strategy
         neg = jnp.asarray(-jnp.inf, self.dtype)
-        valid = self.table_valid
 
-        def masked(s):
-            return jnp.where(valid, s, neg)
+        def masked(s, consts):
+            return jnp.where(consts["valid"], s, neg)
+
+        base_consts = {"table": self.table, "valid": self.table_valid}
 
         if self._use_fused and strat in ("neural", "feasibility", "combined"):
-            from ..models.scorer import make_fused_scorer
+            from ..models.features import candidate_q_features
+            from ..models.scorer import load_params
+            from ..ops.fused_score import fused_score_k3, mlp_params_for_kernel
 
-            fused = make_fused_scorer(self.Q, self.table, self.cfg.scorer)
+            params, _ = load_params(3, tuple(self.cfg.scorer.hidden),
+                                    self.cfg.scorer.weights_path,
+                                    self.cfg.scorer.seed)
+            triQ, scale = candidate_q_features(self.Q, self.table)
+            self._score_consts = {
+                **base_consts, "triQ": triQ, "scale": scale,
+                "W": [jnp.asarray(a) for a in mlp_params_for_kernel(params)],
+            }
 
-            def score(x, X, key):
-                nn, feas = fused(x, X)
+            def score(x, X, key, consts):
+                nn, feas = fused_score_k3(
+                    x, X, consts["table"], consts["triQ"], consts["scale"],
+                    *consts["W"], block=1024, sweeps=5,
+                )
                 if strat == "feasibility":
-                    return masked(feas)
+                    return masked(feas, consts)
                 if strat == "combined":
-                    return masked(jnp.where(feas > 0.0, nn, neg))
-                return masked(nn)
+                    return masked(jnp.where(feas > 0.0, nn, neg), consts)
+                return masked(nn, consts)
 
             return score
 
+        self._score_consts = base_consts
         if strat == "feasibility":
-            return lambda x, X, key: masked(_feasibility_all(x, X, self.table))
+            return lambda x, X, key, consts: masked(
+                _feasibility_all(x, X, consts["table"]), consts)
         if strat == "random":
-            return lambda x, X, key: masked(jax.random.uniform(
-                key, (self.table.shape[0],), dtype=self.dtype
-            ))
+            return lambda x, X, key, consts: masked(jax.random.uniform(
+                key, (consts["table"].shape[0],), dtype=self.dtype), consts)
         if strat in ("neural", "combined"):
             from ..models.scorer import neural_score_fn
 
@@ -136,24 +154,24 @@ class CutSolver:
                 self.Q, self.table, self.cfg.scorer,
                 combined=(strat == "combined"),
             )
-            return lambda x, X, key: masked(fn(x, X, key))
+            return lambda x, X, key, consts: masked(fn(x, X, key), consts)
         if strat == "optimality":
             from ..models.labels import exact_score_fn
 
             fn = exact_score_fn(self.Q, self.table)
-            return lambda x, X, key: masked(fn(x, X, key))
+            return lambda x, X, key, consts: masked(fn(x, X, key), consts)
         raise ValueError(f"unknown strategy: {strat}")
 
     # -- one round ----------------------------------------------------------
-    def _post_lp(self, x, X, pool, yC, key):
+    def _post_lp(self, x, X, pool, yC, key, consts):
         """Fused post-solve stage: score ALL candidates -> top-k -> eigh of
         selected -> cut rows -> purge -> append, in ONE jit dispatch (the
         per-dispatch floor through this setup's tunnel is ~30 ms, so stage
         fusion matters as much as kernel speed — SURVEY.md section 3.5)."""
         cfg = self.cfg
-        scores = self._score_fn(x, X, key)
+        scores = self._score_fn(x, X, key, consts)
         idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
-            x, X, self.table, scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
+            x, X, consts["table"], scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
         )
         if cfg.cuts.purge:
             slack = cut_residuals(x, X, pool)
@@ -177,7 +195,8 @@ class CutSolver:
         if not hasattr(self, "_post_lp_jit"):
             self._post_lp_jit = jax.jit(self._post_lp)
         self.pool, yC, kept = self._post_lp_jit(
-            self.state.x, self.state.X, self.pool, self.state.yC, sub
+            self.state.x, self.state.X, self.pool, self.state.yC, sub,
+            self._score_consts,
         )
         self.state = self.state._replace(yC=yC)
         added = int(self.pool.count) - int(kept)
