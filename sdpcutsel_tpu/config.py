@@ -51,6 +51,8 @@ class ScorerConfig:
       "neural"       — trained MLP estimate of the optimality score (headline)
       "random"       — uniform random scores (experimental control)
       "combined"     — neural score with feasibility tie-breaking
+      "triangle"     — RLT triangle (QPB) inequalities by violation, the
+                       paper's comparison baseline (k=3 only; cuts/triangle.py)
     """
 
     strategy: str = "neural"

@@ -14,7 +14,8 @@ checkpoints.
 
 Strategies (SURVEY.md section 0.4): "feasibility", "optimality" (exact
 subproblem oracle), "neural" (trained MLP estimate — the headline method),
-"random", "combined".
+"random", "combined", plus "triangle" (RLT-3 comparison baseline,
+cuts/triangle.py).
 """
 
 from __future__ import annotations
@@ -155,6 +156,11 @@ class CutSolver:
                 combined=(strat == "combined"),
             )
             return lambda x, X, key, consts: masked(fn(x, X, key), consts)
+        if strat == "triangle":
+            from ..cuts.triangle import triangle_scores
+
+            return lambda x, X, key, consts: masked(
+                triangle_scores(x, X, consts["table"]), consts)
         if strat == "optimality":
             from ..models.labels import exact_score_fn
 
@@ -169,10 +175,19 @@ class CutSolver:
         per-dispatch floor through this setup's tunnel is ~30 ms, so stage
         fusion matters as much as kernel speed — SURVEY.md section 3.5)."""
         cfg = self.cfg
-        scores = self._score_fn(x, X, key, consts)
-        idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
-            x, X, consts["table"], scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
-        )
+        if cfg.scorer.strategy == "triangle":
+            from ..cuts.triangle import triangle_select_and_generate
+
+            idx_r, lin_r, quad_r, rhs_r, valid_r = triangle_select_and_generate(
+                x, X, consts["table"], cfg.cuts.sel_size, cfg.cuts.viol_tol,
+                table_mask=consts["valid"],
+            )
+        else:
+            scores = self._score_fn(x, X, key, consts)
+            idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
+                x, X, consts["table"], scores, cfg.cuts.sel_size,
+                cfg.cuts.viol_tol,
+            )
         if cfg.cuts.purge:
             slack = cut_residuals(x, X, pool)
             pool, yC = purge_pool(pool, yC, slack, cfg.cuts.purge_slack_tol)
