@@ -1,0 +1,128 @@
+"""Paper-style figures from suite results (the reference experiment driver's
+matplotlib output, SURVEY.md section 2.1 R4 / 3.3).
+
+    python scripts/plots.py [results/suite.jsonl] [--out results/figures]
+
+Produces:
+  * gap_vs_rounds_<instance>.svg — % SDP gap closed per round, one line per
+    strategy (the paper's headline curve form), for each instance present.
+  * suite_summary.svg — mean final % gap closed per strategy over the suite.
+
+Colors follow a fixed categorical order per strategy (identity encoding —
+never cycled), validated palette; one y-axis; recessive grid; direct labels
+on line ends plus a legend.
+"""
+
+import argparse
+import json
+import os
+from collections import defaultdict
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+# fixed strategy -> color assignment (categorical slots 1-5; identity is
+# stable across figures regardless of which strategies a file contains)
+COLORS = {
+    "neural": "#2a78d6",
+    "feasibility": "#eb6834",
+    "random": "#1baf7a",
+    "triangle": "#eda100",
+    "optimality": "#e87ba4",
+    "combined": "#4a3aa7",
+}
+ORDER = list(COLORS)
+
+TEXT = "#0b0b0b"
+MUTED = "#52514e"
+GRID = "#e6e5e1"
+
+
+def _style(ax):
+    ax.set_facecolor("#fcfcfb")
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color(GRID)
+    ax.tick_params(colors=MUTED, labelsize=9)
+    ax.grid(True, axis="y", color=GRID, linewidth=0.7)
+    ax.set_axisbelow(True)
+
+
+def load(path):
+    rows = defaultdict(dict)
+    with open(path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "instance" in r:
+                rows[r["instance"]][r["strategy"]] = r
+    return rows
+
+
+def plot_instance(name, recs, out_dir):
+    fig, ax = plt.subplots(figsize=(5.2, 3.4), dpi=150)
+    _style(ax)
+    strategies = [s for s in ORDER if s in recs]
+    for s in strategies:
+        g = [100.0 * v for v in recs[s]["gap_closed"]]
+        ax.plot(range(len(g)), g, color=COLORS[s], linewidth=2,
+                marker="o", markersize=3.5, label=s)
+        ax.annotate(f"{g[-1]:.0f}%", (len(g) - 1, g[-1]),
+                    textcoords="offset points", xytext=(6, -3),
+                    fontsize=8, color=TEXT)
+    ax.set_xlabel("cutting-plane round", color=MUTED, fontsize=9)
+    ax.set_ylabel("% SDP gap closed", color=MUTED, fontsize=9)
+    ax.set_title(name, color=TEXT, fontsize=11, loc="left")
+    if len(strategies) > 1:
+        ax.legend(frameon=False, fontsize=8, labelcolor=TEXT, loc="lower right")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, f"gap_vs_rounds_{name}.svg"))
+    plt.close(fig)
+
+
+def plot_summary(rows, out_dir):
+    sums = defaultdict(list)
+    for recs in rows.values():
+        for s, r in recs.items():
+            sums[s].append(100.0 * r["final_gap_closed"])
+    strategies = [s for s in ORDER if s in sums]
+    if not strategies:
+        return
+    means = [sum(sums[s]) / len(sums[s]) for s in strategies]
+    fig, ax = plt.subplots(figsize=(4.6, 3.0), dpi=150)
+    _style(ax)
+    bars = ax.bar(strategies, means,
+                  color=[COLORS[s] for s in strategies], width=0.62)
+    for b, m, s in zip(bars, means, strategies):
+        ax.annotate(f"{m:.1f}%", (b.get_x() + b.get_width() / 2, m),
+                    ha="center", va="bottom", fontsize=9, color=TEXT)
+    ax.set_ylabel("mean final % SDP gap closed", color=MUTED, fontsize=9)
+    ax.set_title(
+        f"BoxQP suite ({len(rows)} instances)", color=TEXT, fontsize=11,
+        loc="left",
+    )
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "suite_summary.svg"))
+    plt.close(fig)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", nargs="?", default="results/suite.jsonl")
+    ap.add_argument("--out", default="results/figures")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    rows = load(args.path)
+    for name, recs in sorted(rows.items()):
+        plot_instance(name, recs, args.out)
+    plot_summary(rows, args.out)
+    print(f"wrote {len(rows) + 1} figures to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
