@@ -1,7 +1,7 @@
 """Paper-style figures from suite results (the reference experiment driver's
 matplotlib output, SURVEY.md section 2.1 R4 / 3.3).
 
-    python scripts/plots.py [results/suite.jsonl] [--out results/figures]
+    python -m sdpcutsel_tpu.cli plot [results/suite.jsonl] [--out results/figures]
 
 Produces:
   * gap_vs_rounds_<instance>.svg — % SDP gap closed per round, one line per

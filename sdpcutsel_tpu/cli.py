@@ -24,7 +24,7 @@ def _common(ap):
     ap.add_argument("--rounds", type=int, default=20)
     ap.add_argument("--strategy", default="neural",
                     choices=["feasibility", "optimality", "neural", "random",
-                             "combined"])
+                             "combined", "triangle"])
     ap.add_argument("--capacity", type=int, default=4096)
     ap.add_argument("--lp-tol", type=float, default=1e-6)
     ap.add_argument("--lp-max-iters", type=int, default=20000)
@@ -65,6 +65,10 @@ def main(argv=None):
     pb.add_argument("instance")
     _common(pb)
 
+    pp = sub.add_parser("plot", help="render figures from suite JSONL results")
+    pp.add_argument("path", nargs="?", default="results/suite.jsonl")
+    pp.add_argument("--out", default="results/figures")
+
     pt = sub.add_parser("train", help="train the NN cut scorer")
     pt.add_argument("--k", type=int, default=3)
     pt.add_argument("--samples", type=int, default=200_000)
@@ -78,6 +82,19 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "plot":
+        import os
+
+        from .bench import plots
+
+        os.makedirs(args.out, exist_ok=True)
+        rows = plots.load(args.path)
+        for name, recs in sorted(rows.items()):
+            plots.plot_instance(name, recs, args.out)
+        plots.plot_summary(rows, args.out)
+        print(json.dumps({"figures": len(rows) + 1, "out": args.out}))
+        return 0
 
     if args.cmd == "train":
         from .models.train import train_scorer
