@@ -92,7 +92,7 @@ class CutSolver:
         self.table = jnp.asarray(tbl_np)
         self.table_valid = jnp.asarray(valid_np)
         self._use_fused = (
-            cfg.cuts.k == 3 and jax.default_backend() == "tpu"
+            cfg.cuts.k in (2, 3) and jax.default_backend() == "tpu"
         )
         self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
         self.state: PDHGState = init_state(n, cfg.cuts.capacity, 0, dtype)
@@ -117,9 +117,10 @@ class CutSolver:
         if self._use_fused and strat in ("neural", "feasibility", "combined"):
             from ..models.features import candidate_q_features
             from ..models.scorer import load_params
-            from ..ops.fused_score import fused_score_k3, mlp_params_for_kernel
+            from ..ops.fused_score import fused_score, mlp_params_for_kernel
 
-            params, _ = load_params(3, tuple(self.cfg.scorer.hidden),
+            params, _ = load_params(self.cfg.cuts.k,
+                                    tuple(self.cfg.scorer.hidden),
                                     self.cfg.scorer.weights_path,
                                     self.cfg.scorer.seed)
             triQ, scale = candidate_q_features(self.Q, self.table)
@@ -129,7 +130,7 @@ class CutSolver:
             }
 
             def score(x, X, key, consts):
-                nn, feas = fused_score_k3(
+                nn, feas = fused_score(
                     x, X, consts["table"], consts["triQ"], consts["scale"],
                     *consts["W"], block=1024, sweeps=5,
                 )

@@ -54,7 +54,21 @@ class CutSolverQCQP:
         table_np = clique_candidates(cliques, cfg.cuts.k)
         if table_np.shape[0] == 0:
             raise ValueError("no candidate subsets: sparsity graph is empty")
-        self.table = jnp.asarray(table_np)
+        # On TPU the clique table is padded to the fused kernel's block
+        # multiple (padded rows masked out of every strategy's scores); the
+        # CPU path keeps the exact table.
+        self._use_fused = (
+            jax.default_backend() == "tpu" and 2 <= cfg.cuts.k <= 5
+        )
+        if self._use_fused:
+            from ..parallel.sharding import pad_table
+
+            tbl_np, valid_np = pad_table(table_np, 1024)
+            self.table = jnp.asarray(tbl_np)
+            self.table_valid = jnp.asarray(valid_np)
+        else:
+            self.table = jnp.asarray(table_np)
+            self.table_valid = jnp.ones((table_np.shape[0],), dtype=bool)
         self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
         self.state: PDHGState = init_state(n, cfg.cuts.capacity, inst.m, dtype)
         self.key = jax.random.PRNGKey(cfg.seed)
@@ -63,23 +77,57 @@ class CutSolverQCQP:
 
     def _default_score_fn(self) -> Callable:
         strat = self.cfg.scorer.strategy
+        neg = jnp.asarray(-jnp.inf, self.dtype)
+        valid = self.table_valid
+
+        def masked(s):
+            return jnp.where(valid, s, neg)
+
+        if self._use_fused and strat in ("neural", "feasibility", "combined"):
+            from ..models.features import candidate_q_features
+            from ..models.scorer import load_params
+            from ..ops.fused_score import fused_score, mlp_params_for_kernel
+
+            params, _ = load_params(self.cfg.cuts.k,
+                                    tuple(self.cfg.scorer.hidden),
+                                    self.cfg.scorer.weights_path,
+                                    self.cfg.scorer.seed)
+            triQ, scale = candidate_q_features(self.Q, self.table)
+            W = [jnp.asarray(a) for a in mlp_params_for_kernel(params)]
+            table = self.table
+
+            def score(x, X, key):
+                nn, feas = fused_score(
+                    x, X, table, triQ, scale, *W, block=1024, sweeps=6,
+                )
+                if strat == "feasibility":
+                    return masked(feas)
+                if strat == "combined":
+                    return masked(jnp.where(feas > 0.0, nn, neg))
+                return masked(nn)
+
+            return score
+
         if strat == "feasibility":
             return jax.jit(
-                lambda x, X, key: feasibility_scores_from_point(x, X, self.table)
+                lambda x, X, key: masked(
+                    feasibility_scores_from_point(x, X, self.table))
             )
         if strat == "random":
-            return lambda x, X, key: jax.random.uniform(
+            return lambda x, X, key: masked(jax.random.uniform(
                 key, (self.table.shape[0],), dtype=self.dtype
-            )
+            ))
         if strat in ("neural", "combined"):
             from ..models.scorer import neural_score_fn
 
-            return neural_score_fn(self.Q, self.table, self.cfg.scorer,
-                                   combined=(strat == "combined"))
+            fn = neural_score_fn(self.Q, self.table, self.cfg.scorer,
+                                 combined=(strat == "combined"))
+            return lambda x, X, key: masked(fn(x, X, key))
         if strat == "optimality":
             from ..models.labels import exact_score_fn
 
-            return exact_score_fn(self.Q, self.table)
+            fn = exact_score_fn(self.Q, self.table)
+            return lambda x, X, key: masked(fn(x, X, key))
         raise ValueError(f"unknown strategy: {strat}")
 
     def do_round(self) -> RoundStats:

@@ -9,7 +9,9 @@ from sdpcutsel_tpu.cuts.eigen import feasibility_scores_from_point
 from sdpcutsel_tpu.cuts.enumerate import combinations_table
 from sdpcutsel_tpu.models.features import candidate_features, candidate_q_features
 from sdpcutsel_tpu.models.scorer import MLPScorer, load_params
-from sdpcutsel_tpu.ops.fused_score import fused_score_k3, mlp_params_for_kernel
+from sdpcutsel_tpu.ops.fused_score import (
+    fused_score, fused_score_k3, mlp_params_for_kernel,
+)
 from sdpcutsel_tpu.parallel.sharding import pad_table
 
 
@@ -47,5 +49,50 @@ def test_fused_score_matches_jnp_path():
 
     np.testing.assert_allclose(np.asarray(feas), np.asarray(feas_ref),
                                atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nn), np.asarray(nn_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("k", [2, 3, 4, 5])
+def test_fused_score_generic_k(k):
+    """Generic-k kernel vs the jnp reference path (interpret mode)."""
+    n, block = 14, 1024
+    rng = np.random.default_rng(k)
+    Q = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    Q = 0.5 * (Q + Q.T)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    X = jnp.asarray(
+        np.clip(np.outer(x, x) + 0.3 * rng.standard_normal((n, n)), 0, 1),
+        jnp.float32,
+    )
+    X = 0.5 * (X + X.T)
+
+    tbl_np = combinations_table(n, k)[:900]
+    if k >= 4:
+        # QCQP-style padded supports: repeat the last index in some rows
+        tbl_np = tbl_np.copy()
+        tbl_np[::7, -1] = tbl_np[::7, -2]
+    tbl_pad, valid = pad_table(tbl_np, block)
+    table = jnp.asarray(tbl_pad)
+
+    cfg = ScorerConfig()
+    params, _ = load_params(k, tuple(cfg.hidden))
+    triQ, scale = candidate_q_features(Q, table)
+    W = mlp_params_for_kernel(params)
+
+    nn, feas = fused_score(
+        x, X, table, triQ, scale, *W, block=block, sweeps=7, interpret=True,
+    )
+
+    feas_ref = feasibility_scores_from_point(x, X, table)
+    model = MLPScorer(hidden=tuple(cfg.hidden))
+    feats = candidate_features(triQ, x, X, table)
+    nn_ref = scale * jnp.maximum(model.apply(params, feats), 0.0)
+
+    np.testing.assert_allclose(np.asarray(feas), np.asarray(feas_ref),
+                               atol=5e-4)
     np.testing.assert_allclose(np.asarray(nn), np.asarray(nn_ref),
                                rtol=2e-4, atol=2e-5)
