@@ -1,0 +1,110 @@
+"""Measure parity: CPU reference replica vs the TPU build's recorded suite
+cells, same instance / strategy / cut budget (SURVEY.md section 6 — the
+measured baseline replaces the reference's unavailable published numbers).
+
+For each requested instance, runs the numpy+HiGHS replica
+(baseline/cpu_reference.py) with the same (k, sel_size, rounds) as the suite
+sweep, converts its bound sequence to % SDP gap closed using the shared
+bounds registry, and appends a record to results/parity.jsonl with the
+matching TPU cell's number and the TPU/CPU ratio.
+
+    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+        python scripts/run_parity.py --instances spar020-50-1,spar030-100-1
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--instances", required=True, help="comma list")
+    ap.add_argument("--strategy", default="feasibility",
+                    help="replica strategy to compare (feasibility is "
+                         "deterministic — identical selection rule on both "
+                         "sides)")
+    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--sel-size", type=int, default=20)
+    ap.add_argument("--k", type=int, default=3)
+    ap.add_argument("--data-dir", default="data/boxqp")
+    ap.add_argument("--suite", default="results/suite.jsonl")
+    ap.add_argument("--out", default="results/parity.jsonl")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from sdpcutsel_tpu.baseline import cpu_cut_select
+    from sdpcutsel_tpu.bench.suite import bounds_registry
+    from sdpcutsel_tpu.instances import load_or_generate
+
+    reg = bounds_registry(os.path.join(args.data_dir, "bounds.json"))
+
+    tpu_cells = {}
+    if os.path.exists(args.suite):
+        with open(args.suite) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if r.get("strategy") == args.strategy and "instance" in r:
+                    tpu_cells[r["instance"]] = r
+
+    done = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["instance"])
+                except (json.JSONDecodeError, KeyError):
+                    continue
+
+    for name in args.instances.split(","):
+        if name in done:
+            print(f"[parity] {name}: already done", flush=True)
+            continue
+        if name not in reg:
+            print(f"[parity] {name}: no SDP bound in registry, skipping",
+                  flush=True)
+            continue
+        inst = load_or_generate(name, data_dir=args.data_dir)
+        mc, sdp = reg[name]["mccormick"], reg[name]["sdp"]
+        t0 = time.perf_counter()
+        hist, _ = cpu_cut_select(
+            inst, k=args.k, sel_size=args.sel_size, rounds=args.rounds,
+            strategy=args.strategy,
+        )
+        wall = time.perf_counter() - t0
+        gap = mc - sdp
+        cpu_gaps = [max(0.0, (mc - h.bound) / gap) for h in hist]
+        cpu_final = cpu_gaps[-1] if cpu_gaps else 0.0
+        tpu_final = tpu_cells.get(name, {}).get("final_gap_closed")
+        rec = {
+            "instance": name,
+            "strategy": args.strategy,
+            "rounds": args.rounds,
+            "sel_size": args.sel_size,
+            "cpu_final_gap_closed": cpu_final,
+            "cpu_gap_closed": cpu_gaps,
+            "tpu_final_gap_closed": tpu_final,
+            "ratio_tpu_over_cpu": (
+                tpu_final / cpu_final if tpu_final and cpu_final else None
+            ),
+            "cpu_wall_time_s": wall,
+            "ts": time.time(),
+        }
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[parity] {name}: cpu={cpu_final:.3f} tpu={tpu_final} "
+              f"t={wall:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--data-dir", default="data/boxqp")
     ap.add_argument("--out", default="results/suite.jsonl")
     ap.add_argument("--lp-max-iters", type=int, default=20000)
+    ap.add_argument("--polish-iters", type=int, default=60000,
+                    help="final tighter LP re-solve budget (0 = off)")
     ap.add_argument("--sdp-max-rounds", type=int, default=60)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--max-cells", type=int, default=0,
@@ -50,7 +52,7 @@ def main():
 
     from sdpcutsel_tpu.bench.suite import instance_gap_closed
     from sdpcutsel_tpu.config import (
-        CutConfig, LPConfig, RunConfig, ScorerConfig,
+        CutConfig, LPConfig, LoopConfig, RunConfig, ScorerConfig,
     )
     from sdpcutsel_tpu.utils.logging import JSONLLogger
 
@@ -87,6 +89,7 @@ def main():
                 lp=LPConfig(max_iters=args.lp_max_iters, tol=2e-6),
                 cuts=CutConfig(k=3, sel_size=args.sel_size, capacity=2048),
                 scorer=ScorerConfig(strategy=strat),
+                loop=LoopConfig(polish_iters=args.polish_iters),
             )
             rec = instance_gap_closed(
                 name, cfg, args.data_dir, rounds=args.rounds, logger=logger,

@@ -64,6 +64,10 @@ def instance_gap_closed(name: str, cfg: RunConfig, data_dir: str,
     rec = {
         "instance": name,
         "strategy": cfg.scorer.strategy,
+        "k": cfg.cuts.k,
+        "sel_size": cfg.cuts.sel_size,
+        "rounds_run": len(hist),
+        "polish_iters": cfg.loop.polish_iters,
         "mccormick": mc,
         "sdp": sdp,
         "bounds": [h.bound for h in hist],

@@ -67,6 +67,10 @@ class LoopConfig:
 
     rounds: int = 20
     improvement_tol: float = 1e-5    # stop when relative bound improvement below
+    polish_iters: int = 0            # >0: final tighter LP re-solve (no new
+                                     # cuts) with this iteration budget, to
+                                     # recover bound accuracy lost to
+                                     # per-round LP iteration limits
     checkpoint_every: int = 0        # 0 = disabled; else rounds between snapshots
     checkpoint_dir: Optional[str] = None
 

@@ -240,7 +240,26 @@ class CutSolver:
                 if rel < self.cfg.loop.improvement_tol and s.cuts_added == 0:
                     break
             prev = s.bound
+        if self.cfg.loop.polish_iters > 0 and self.history:
+            self.polish()
         return self.history
+
+    def polish(self) -> float:
+        """Final tighter LP re-solve over the existing cut pool (no new cuts)
+        — recovers certified-bound accuracy when per-round LP solves stopped
+        at max_iters.  Updates the last round's recorded bound (the running
+        minimum of valid certificates stays valid)."""
+        tight = dataclasses.replace(
+            self.cfg.lp,
+            max_iters=self.cfg.loop.polish_iters,
+            tol=self.cfg.lp.tol * 1e-2,
+        )
+        self.state, _ = solve_lp(self.Q, self.c, self.pool, self.state, tight)
+        b = dual_bound_f64(self.inst.Q, self.inst.c, self.pool, self.state)
+        if self.history:
+            b = min(b, self.history[-1].bound)
+            self.history[-1].bound = b
+        return b
 
     # -- checkpoint/resume (SURVEY.md section 5.4) --------------------------
     def _checkpoint_path(self) -> Optional[str]:

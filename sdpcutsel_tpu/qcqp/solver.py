@@ -179,4 +179,24 @@ class CutSolverQCQP:
                 if rel < self.cfg.loop.improvement_tol and s.cuts_added == 0:
                     break
             prev = s.bound
+        if self.cfg.loop.polish_iters > 0 and self.history:
+            self.polish()
         return self.history
+
+    def polish(self) -> float:
+        """Final tighter LP re-solve (no new cuts); see CutSolver.polish."""
+        import dataclasses
+
+        tight = dataclasses.replace(
+            self.cfg.lp,
+            max_iters=self.cfg.loop.polish_iters,
+            tol=self.cfg.lp.tol * 1e-2,
+        )
+        self.state, _ = solve_lp(self.Q, self.c, self.pool, self.state,
+                                 tight, dense=self.dense)
+        b = dual_bound_f64(self.inst.Q0, self.inst.c0, self.pool, self.state,
+                           dense=self.dense)
+        if self.history:
+            b = min(b, self.history[-1].bound)
+            self.history[-1].bound = b
+        return b

@@ -50,3 +50,33 @@ def test_random_strategy_runs(inst10):
     hist = solver.run(rounds=2)
     assert len(hist) == 2
     assert hist[-1].bound <= hist[0].bound + 1e-3
+
+
+def test_final_polish_tightens_bound():
+    """polish_iters > 0 re-solves the final LP tighter and can only improve
+    (never worsen) the certified final bound."""
+    import dataclasses
+
+    from sdpcutsel_tpu.config import (
+        CutConfig, LPConfig, LoopConfig, RunConfig, ScorerConfig,
+    )
+    from sdpcutsel_tpu.instances import generate_spar
+    from sdpcutsel_tpu.loop import CutSolver
+
+    inst = generate_spar(12, 100, 3)
+    base = RunConfig(
+        lp=LPConfig(max_iters=1500, tol=1e-7),   # deliberately starved
+        cuts=CutConfig(k=3, sel_size=10, capacity=128),
+        scorer=ScorerConfig(strategy="feasibility"),
+    )
+    s1 = CutSolver(inst, base)
+    h1 = s1.run(rounds=3)
+    b_plain = h1[-1].bound
+
+    s2 = CutSolver(inst, dataclasses.replace(
+        base, loop=dataclasses.replace(base.loop, polish_iters=20000)))
+    h2 = s2.run(rounds=3)
+    b_polished = h2[-1].bound
+
+    assert b_polished <= b_plain + 1e-9
+    assert b_polished < b_plain - 1e-4   # starved LP leaves real slack
