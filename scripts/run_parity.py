@@ -55,19 +55,27 @@ def main():
                 except json.JSONDecodeError:
                     continue
                 if r.get("strategy") == args.strategy and "instance" in r:
-                    tpu_cells[r["instance"]] = r
+                    # only accept cells whose recorded config matches the
+                    # replica's run parameters — otherwise the ratio compares
+                    # different budgets (k/sel_size default to match for
+                    # legacy records that predate config logging)
+                    if (r.get("k", args.k) == args.k
+                            and r.get("sel_size", args.sel_size)
+                            == args.sel_size):
+                        tpu_cells[r["instance"]] = r
 
     done = set()
     if os.path.exists(args.out):
         with open(args.out) as f:
             for line in f:
                 try:
-                    done.add(json.loads(line)["instance"])
+                    r = json.loads(line)
+                    done.add((r["instance"], r["strategy"]))
                 except (json.JSONDecodeError, KeyError):
                     continue
 
     for name in args.instances.split(","):
-        if name in done:
+        if (name, args.strategy) in done:
             print(f"[parity] {name}: already done", flush=True)
             continue
         if name not in reg:
@@ -82,8 +90,11 @@ def main():
             strategy=args.strategy,
         )
         wall = time.perf_counter() - t0
-        gap = mc - sdp
-        cpu_gaps = [max(0.0, (mc - h.bound) / gap) for h in hist]
+        from sdpcutsel_tpu.loop.sdp_bound import gap_closed
+
+        # same normalization (incl. denominator guard and [0,1] clip) as the
+        # TPU suite's records
+        cpu_gaps = gap_closed(mc, sdp, [h.bound for h in hist]).tolist()
         cpu_final = cpu_gaps[-1] if cpu_gaps else 0.0
         tpu_final = tpu_cells.get(name, {}).get("final_gap_closed")
         rec = {
@@ -95,7 +106,8 @@ def main():
             "cpu_gap_closed": cpu_gaps,
             "tpu_final_gap_closed": tpu_final,
             "ratio_tpu_over_cpu": (
-                tpu_final / cpu_final if tpu_final and cpu_final else None
+                tpu_final / cpu_final
+                if tpu_final is not None and cpu_final > 0 else None
             ),
             "cpu_wall_time_s": wall,
             "ts": time.time(),

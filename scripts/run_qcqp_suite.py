@@ -61,10 +61,9 @@ def main():
             for line in f:
                 try:
                     r = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if "instance" in r:
                     done.add((r["instance"], r["strategy"], r.get("k")))
+                except (json.JSONDecodeError, KeyError):
+                    continue
 
     logger = JSONLLogger(args.out)
     for spec in args.specs.split(","):

@@ -52,6 +52,9 @@ def _style(ax):
 
 
 def load(path):
+    """Suite records keyed [instance][strategy]; later records win (re-runs).
+    Records missing the fields the figures need are skipped, so files with
+    other record shapes (summaries, parity rows) don't crash rendering."""
     rows = defaultdict(dict)
     with open(path) as f:
         for line in f:
@@ -59,7 +62,8 @@ def load(path):
                 r = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if "instance" in r:
+            if ("instance" in r and "strategy" in r
+                    and r.get("gap_closed")):
                 rows[r["instance"]][r["strategy"]] = r
     return rows
 
@@ -86,13 +90,14 @@ def plot_instance(name, recs, out_dir):
 
 
 def plot_summary(rows, out_dir):
+    """Renders the mean-final-gap bar chart; returns True if written."""
     sums = defaultdict(list)
     for recs in rows.values():
         for s, r in recs.items():
             sums[s].append(100.0 * r["final_gap_closed"])
     strategies = [s for s in ORDER if s in sums]
     if not strategies:
-        return
+        return False
     means = [sum(sums[s]) / len(sums[s]) for s in strategies]
     fig, ax = plt.subplots(figsize=(4.6, 3.0), dpi=150)
     _style(ax)
@@ -109,6 +114,20 @@ def plot_summary(rows, out_dir):
     fig.tight_layout()
     fig.savefig(os.path.join(out_dir, "suite_summary.svg"))
     plt.close(fig)
+    return True
+
+
+def render_all(path, out_dir):
+    """Shared entry point for the CLI and the module main: render every
+    per-instance figure plus the summary.  Returns the figure count."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = load(path)
+    for name, recs in sorted(rows.items()):
+        plot_instance(name, recs, out_dir)
+    count = len(rows)
+    if plot_summary(rows, out_dir):
+        count += 1
+    return count
 
 
 def main():
@@ -116,12 +135,8 @@ def main():
     ap.add_argument("path", nargs="?", default="results/suite.jsonl")
     ap.add_argument("--out", default="results/figures")
     args = ap.parse_args()
-    os.makedirs(args.out, exist_ok=True)
-    rows = load(args.path)
-    for name, recs in sorted(rows.items()):
-        plot_instance(name, recs, args.out)
-    plot_summary(rows, args.out)
-    print(f"wrote {len(rows) + 1} figures to {args.out}")
+    n = render_all(args.path, args.out)
+    print(f"wrote {n} figures to {args.out}")
 
 
 if __name__ == "__main__":

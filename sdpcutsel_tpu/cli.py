@@ -84,16 +84,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     if args.cmd == "plot":
-        import os
-
         from .bench import plots
 
-        os.makedirs(args.out, exist_ok=True)
-        rows = plots.load(args.path)
-        for name, recs in sorted(rows.items()):
-            plots.plot_instance(name, recs, args.out)
-        plots.plot_summary(rows, args.out)
-        print(json.dumps({"figures": len(rows) + 1, "out": args.out}))
+        n = plots.render_all(args.path, args.out)
+        print(json.dumps({"figures": n, "out": args.out}))
         return 0
 
     if args.cmd == "train":

@@ -158,6 +158,10 @@ class CutSolver:
             )
             return lambda x, X, key, consts: masked(fn(x, X, key), consts)
         if strat == "triangle":
+            if self.cfg.cuts.k != 3:
+                raise ValueError(
+                    "triangle strategy requires k=3 (RLT-3 inequalities are "
+                    f"defined on triples); got k={self.cfg.cuts.k}")
             from ..cuts.triangle import triangle_scores
 
             return lambda x, X, key, consts: masked(
