@@ -84,10 +84,33 @@ def main():
             continue
         inst = load_or_generate(name, data_dir=args.data_dir)
         mc, sdp = reg[name]["mccormick"], reg[name]["sdp"]
+        replica_strategy, score_fn = args.strategy, None
+        if args.strategy == "neural":
+            # replica runs the reference loop with the SAME trained net via
+            # its custom-score hook — isolates LP/loop differences under the
+            # headline selection rule
+            import jax as _jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            from sdpcutsel_tpu.config import ScorerConfig
+            from sdpcutsel_tpu.cuts.enumerate import combinations_table
+            from sdpcutsel_tpu.models.scorer import neural_score_fn
+
+            table = jnp.asarray(combinations_table(inst.n, args.k))
+            fn = neural_score_fn(jnp.asarray(inst.Q, jnp.float32), table,
+                                 ScorerConfig())
+            key = _jax.random.PRNGKey(0)
+
+            def score_fn(x, X, tbl, _fn=fn, _key=key):
+                return np.asarray(_fn(jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(X, jnp.float32), _key))
+
+            replica_strategy = "custom"
         t0 = time.perf_counter()
         hist, _ = cpu_cut_select(
             inst, k=args.k, sel_size=args.sel_size, rounds=args.rounds,
-            strategy=args.strategy,
+            strategy=replica_strategy, score_fn=score_fn,
         )
         wall = time.perf_counter() - t0
         from sdpcutsel_tpu.loop.sdp_bound import gap_closed
