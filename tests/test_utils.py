@@ -76,3 +76,25 @@ def test_sdp_bound_tight_instance_stops_immediately():
     )
     assert len(hist) == 1
     assert abs(sdp - mc) < 1e-6
+
+
+def test_plots_render_all(tmp_path):
+    """Figure renderer handles suite records, skips foreign record shapes."""
+    import json
+
+    from sdpcutsel_tpu.bench.plots import render_all
+
+    path = tmp_path / "suite.jsonl"
+    rec = {
+        "instance": "spar010-100-1", "strategy": "neural",
+        "gap_closed": [0.0, 0.4, 0.6], "final_gap_closed": 0.6,
+        "mccormick": 10.0, "sdp": 5.0,
+    }
+    foreign = {"instance": "spar010-100-1", "note": "parity row"}
+    summary = {"summary": {"neural": {"mean_gap_closed": 0.6}}}
+    path.write_text("\n".join(json.dumps(r) for r in (rec, foreign, summary)))
+    out = tmp_path / "figs"
+    n = render_all(str(path), str(out))
+    assert n == 2  # one instance figure + the summary bar chart
+    assert (out / "gap_vs_rounds_spar010-100-1.svg").exists()
+    assert (out / "suite_summary.svg").exists()
