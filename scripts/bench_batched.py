@@ -6,6 +6,13 @@ vmapped instance batch; on a pod slice the same code shards 'data' across
 chips.  Reports rounds/s and instance-rounds/s.
 
     python scripts/bench_batched.py --n 30 --batch 8 --rounds 6
+
+Suite mode (BASELINE.json config 4's "full benchmark set concurrently"):
+generates the 90+ instance grid (sizes x densities x seeds), buckets by n
+(one static shape per compile, parallel/round.bucket_instances), and solves
+every bucket's instances concurrently:
+
+    python scripts/bench_batched.py --suite --rounds 10
 """
 
 import argparse
@@ -26,6 +33,12 @@ def main():
     ap.add_argument("--data", type=int, default=1, help="mesh data axis")
     ap.add_argument("--cand", type=int, default=1, help="mesh cand axis")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--suite", action="store_true",
+                    help="solve the full 90+ instance grid, bucketed by n")
+    ap.add_argument("--suite-sizes", default="20,30,40,50,60,70,80,90,100,125")
+    ap.add_argument("--suite-densities", default="25,50,75,100")
+    ap.add_argument("--suite-seeds", default="1,2,3")
+    ap.add_argument("--out", default=None, help="JSONL path for suite mode")
     args = ap.parse_args()
 
     if args.cpu:
@@ -47,6 +60,60 @@ def main():
     from sdpcutsel_tpu.parallel.sharding import shard_candidates
 
     mesh = make_mesh(data=args.data, cand=args.cand)
+
+    if args.suite:
+        import json
+
+        from sdpcutsel_tpu.parallel.round import bucket_instances
+
+        sizes = [int(v) for v in args.suite_sizes.split(",")]
+        densities = [int(v) for v in args.suite_densities.split(",")]
+        seeds = [int(v) for v in args.suite_seeds.split(",")]
+        insts = [generate_spar(n, d, s)
+                 for n in sizes for d in densities for s in seeds]
+        total_inst = len(insts)
+        total_t = 0.0
+        recs = []
+        for n, bucket in bucket_instances(insts).items():
+            B = len(bucket)
+            Qb = jnp.asarray(np.stack([i.Q for i in bucket]), jnp.float32)
+            cb = jnp.asarray(np.stack([i.c for i in bucket]), jnp.float32)
+            state = init_batched_state(Qb, cb, capacity=1024, kmax=3)
+            state = shard_batched_state(state, mesh)
+            table, valid = shard_candidates(combinations_table(n, 3), mesh)
+            step = make_sharded_round_step(mesh, lp_iters=args.lp_iters,
+                                           sel_size=args.sel_size)
+            state = step(state, table, valid)       # warmup/compile
+            jax.block_until_ready(state)
+            t0 = time.perf_counter()
+            for _ in range(args.rounds):
+                state = step(state, table, valid)
+            jax.block_until_ready(state)
+            dt = time.perf_counter() - t0
+            total_t += dt
+            rec = {
+                "n": n, "batch": B, "rounds": args.rounds,
+                "seconds": round(dt, 3),
+                "instance_rounds_per_sec": round(B * args.rounds / dt, 2),
+                "mean_bound": float(np.asarray(state.bound).mean()),
+            }
+            recs.append(rec)
+            print(rec, flush=True)
+        summary = {
+            "suite_instances": total_inst,
+            "rounds_each": args.rounds,
+            "total_seconds_post_compile": round(total_t, 2),
+            "aggregate_instance_rounds_per_sec": round(
+                total_inst * args.rounds / total_t, 2) if total_t else None,
+            "mesh": f"{args.data}x{args.cand}",
+        }
+        print(summary, flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                for r in recs + [summary]:
+                    f.write(json.dumps(r) + "\n")
+        return
+
     insts = [generate_spar(args.n, 100, s + 1) for s in range(args.batch)]
     Qb = jnp.asarray(np.stack([i.Q for i in insts]), jnp.float32)
     cb = jnp.asarray(np.stack([i.c for i in insts]), jnp.float32)
