@@ -34,11 +34,24 @@ def main():
     ap.add_argument("--data-dir", default="data/boxqp")
     ap.add_argument("--suite", default="results/suite.jsonl")
     ap.add_argument("--out", default="results/parity.jsonl")
+    ap.add_argument("--tpu-rerun", action="store_true",
+                    help="re-run the TPU build fresh (same budget) with a "
+                         "final polish re-solve instead of looking up "
+                         "pre-polish suite cells; runs on the default "
+                         "backend (TPU when available)")
+    ap.add_argument("--polish-iters", type=int, default=60_000,
+                    help="final-polish LP iteration budget for --tpu-rerun")
+    ap.add_argument("--no-purge", action="store_true",
+                    help="disable slack-cut purging in the --tpu-rerun solve "
+                         "(matches the replica, which never purges)")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu_rerun:
+        # replica-only run: keep the TPU free for other processes
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from sdpcutsel_tpu.baseline import cpu_cut_select
     from sdpcutsel_tpu.bench.suite import bounds_registry
@@ -70,12 +83,13 @@ def main():
             for line in f:
                 try:
                     r = json.loads(line)
-                    done.add((r["instance"], r["strategy"]))
+                    done.add((r["instance"], r["strategy"],
+                              bool(r.get("tpu_rerun", False))))
                 except (json.JSONDecodeError, KeyError):
                     continue
 
     for name in args.instances.split(","):
-        if (name, args.strategy) in done:
+        if (name, args.strategy, args.tpu_rerun) in done:
             print(f"[parity] {name}: already done", flush=True)
             continue
         if name not in reg:
@@ -84,6 +98,28 @@ def main():
             continue
         inst = load_or_generate(name, data_dir=args.data_dir)
         mc, sdp = reg[name]["mccormick"], reg[name]["sdp"]
+
+        tpu_rec = None
+        if args.tpu_rerun:
+            import dataclasses
+
+            from sdpcutsel_tpu.bench.suite import instance_gap_closed
+            from sdpcutsel_tpu.config import (
+                CutConfig, LoopConfig, RunConfig, ScorerConfig,
+            )
+
+            cfg = RunConfig(
+                cuts=CutConfig(k=args.k, sel_size=args.sel_size,
+                               purge=not args.no_purge),
+                scorer=ScorerConfig(strategy=args.strategy),
+                loop=LoopConfig(rounds=args.rounds,
+                                polish_iters=args.polish_iters),
+            )
+            tpu_rec = instance_gap_closed(name, cfg, args.data_dir,
+                                          rounds=args.rounds)
+            print(f"[parity] {name}: tpu rerun gap_closed="
+                  f"{tpu_rec['final_gap_closed']:.3f} "
+                  f"t={tpu_rec['wall_time_s']:.0f}s", flush=True)
         replica_strategy, score_fn = args.strategy, None
         if args.strategy == "neural":
             # replica runs the reference loop with the SAME trained net via
@@ -119,7 +155,10 @@ def main():
         # TPU suite's records
         cpu_gaps = gap_closed(mc, sdp, [h.bound for h in hist]).tolist()
         cpu_final = cpu_gaps[-1] if cpu_gaps else 0.0
-        tpu_final = tpu_cells.get(name, {}).get("final_gap_closed")
+        if tpu_rec is not None:
+            tpu_final = tpu_rec["final_gap_closed"]
+        else:
+            tpu_final = tpu_cells.get(name, {}).get("final_gap_closed")
         rec = {
             "instance": name,
             "strategy": args.strategy,
@@ -135,6 +174,14 @@ def main():
             "cpu_wall_time_s": wall,
             "ts": time.time(),
         }
+        if tpu_rec is not None:
+            rec.update({
+                "tpu_rerun": True,
+                "tpu_polish_iters": args.polish_iters,
+                "tpu_purge": not args.no_purge,
+                "tpu_gap_closed": tpu_rec["gap_closed"],
+                "tpu_wall_time_s": tpu_rec["wall_time_s"],
+            })
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(f"[parity] {name}: cpu={cpu_final:.3f} tpu={tpu_final} "
