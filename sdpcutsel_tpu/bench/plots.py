@@ -6,6 +6,8 @@ matplotlib output, SURVEY.md section 2.1 R4 / 3.3).
 Produces:
   * gap_vs_rounds_<instance>.svg — % SDP gap closed per round, one line per
     strategy (the paper's headline curve form), for each instance present.
+  * gap_vs_time_<instance>.svg — same, against cumulative wall-clock (the
+    paper's second axis; rendered when records carry ``round_times_s``).
   * suite_summary.svg — mean final % gap closed per strategy over the suite.
 
 Colors follow a fixed categorical order per strategy (identity encoding —
@@ -89,6 +91,35 @@ def plot_instance(name, recs, out_dir):
     plt.close(fig)
 
 
+def plot_instance_time(name, recs, out_dir):
+    """% gap closed vs cumulative wall-clock (the paper's second headline
+    axis).  Only rendered when records carry per-round times
+    (``round_times_s``); returns True if written."""
+    have = [s for s in ORDER if s in recs and recs[s].get("round_times_s")]
+    if not have:
+        return False
+    fig, ax = plt.subplots(figsize=(5.2, 3.4), dpi=150)
+    _style(ax)
+    for s in have:
+        g = [100.0 * v for v in recs[s]["gap_closed"]]
+        t, cum = [], 0.0
+        for dt in recs[s]["round_times_s"]:
+            cum += dt
+            t.append(cum)
+        m = min(len(g), len(t))
+        ax.plot(t[:m], g[:m], color=COLORS[s], linewidth=2,
+                marker="o", markersize=3.5, label=s)
+    ax.set_xlabel("wall-clock (s)", color=MUTED, fontsize=9)
+    ax.set_ylabel("% SDP gap closed", color=MUTED, fontsize=9)
+    ax.set_title(name, color=TEXT, fontsize=11, loc="left")
+    if len(have) > 1:
+        ax.legend(frameon=False, fontsize=8, labelcolor=TEXT, loc="lower right")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, f"gap_vs_time_{name}.svg"))
+    plt.close(fig)
+    return True
+
+
 def plot_summary(rows, out_dir):
     """Renders the mean-final-gap bar chart; returns True if written."""
     sums = defaultdict(list)
@@ -122,9 +153,12 @@ def render_all(path, out_dir):
     per-instance figure plus the summary.  Returns the figure count."""
     os.makedirs(out_dir, exist_ok=True)
     rows = load(path)
+    count = 0
     for name, recs in sorted(rows.items()):
         plot_instance(name, recs, out_dir)
-    count = len(rows)
+        count += 1
+        if plot_instance_time(name, recs, out_dir):
+            count += 1
     if plot_summary(rows, out_dir):
         count += 1
     return count

@@ -71,6 +71,7 @@ def instance_gap_closed(name: str, cfg: RunConfig, data_dir: str,
         "mccormick": mc,
         "sdp": sdp,
         "bounds": [h.bound for h in hist],
+        "round_times_s": [h.wall_time_s for h in hist],
         "gap_closed": gaps.tolist(),
         "final_gap_closed": float(gaps[-1]) if len(gaps) else 0.0,
         "cuts_total": hist[-1].cuts_active if hist else 0,

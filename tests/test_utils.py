@@ -88,6 +88,7 @@ def test_plots_render_all(tmp_path):
     rec = {
         "instance": "spar010-100-1", "strategy": "neural",
         "gap_closed": [0.0, 0.4, 0.6], "final_gap_closed": 0.6,
+        "round_times_s": [0.5, 0.3, 0.3],
         "mccormick": 10.0, "sdp": 5.0,
     }
     foreign = {"instance": "spar010-100-1", "note": "parity row"}
@@ -95,6 +96,7 @@ def test_plots_render_all(tmp_path):
     path.write_text("\n".join(json.dumps(r) for r in (rec, foreign, summary)))
     out = tmp_path / "figs"
     n = render_all(str(path), str(out))
-    assert n == 2  # one instance figure + the summary bar chart
+    assert n == 3  # rounds + time figures + the summary bar chart
     assert (out / "gap_vs_rounds_spar010-100-1.svg").exists()
+    assert (out / "gap_vs_time_spar010-100-1.svg").exists()
     assert (out / "suite_summary.svg").exists()
