@@ -155,6 +155,57 @@ def harvest_dataset(k: int, instances=None, rounds: int = 4,
     return np.concatenate(feats_all), np.concatenate(labels_all)
 
 
+def harvest_dataset_qcqp(k: int, specs=None, rounds: int = 4,
+                         per_round: int = 2048, admm_iters: int = 400,
+                         seed: int = 0, lp_max_iters: int = 10_000):
+    """Exact-labeled dataset harvested from REAL sparse-QCQP runs.
+
+    The k>=4 scorers serve the QCQP path, whose candidate statistics differ
+    from dense BoxQP in two ways the synthetic/BoxQP harvests can't cover:
+    clique-subset tables padded by index duplication (qcqp/chordal.py) and LP
+    points shaped by the linearized quadratic-constraint rows.  Runs the
+    feasibility-strategy QCQP loop and labels a random subsample of the
+    clique-candidate blocks at each round's actual LP point.
+    """
+    from ..config import CutConfig, LPConfig, RunConfig, ScorerConfig
+    from ..instances.qcqp import generate_qcqp
+    from ..qcqp.solver import CutSolverQCQP
+
+    if specs is None:
+        specs = [(15, 30, 3, 1), (15, 30, 3, 2), (20, 25, 4, 1),
+                 (20, 25, 4, 2), (25, 20, 4, 1)]
+    rng = np.random.default_rng(seed)
+    feats_all, labels_all = [], []
+    cfg = RunConfig(
+        lp=LPConfig(max_iters=lp_max_iters, tol=2e-6),
+        cuts=CutConfig(k=k, sel_size=16, capacity=1024),
+        scorer=ScorerConfig(strategy="feasibility"),
+    )
+    for spec in specs:
+        inst = generate_qcqp(*spec)
+        solver = CutSolverQCQP(inst, cfg)
+        table = np.asarray(solver.table)[np.asarray(solver.table_valid)]
+        Qfull = jnp.asarray(inst.Q0, jnp.float32)
+        for _ in range(rounds):
+            solver.do_round()
+            x, X = solver.state.x, solver.state.X
+            sel = rng.choice(table.shape[0],
+                             size=min(per_round, table.shape[0]),
+                             replace=False)
+            idx = jnp.asarray(table[sel])
+            Qr = Qfull[idx[:, :, None], idx[:, None, :]]
+            scale = jnp.maximum(jnp.max(jnp.abs(Qr), axis=(1, 2)), 1e-12)
+            Qhat = Qr / scale[:, None, None]
+            xr = x[idx]
+            Xr = X[idx[:, :, None], idx[:, None, :]]
+            current = 0.5 * jnp.sum(Qhat * Xr, axis=(1, 2))
+            s, _ = solve_subproblem_admm(Qhat, xr, iters=admm_iters)
+            labels = jnp.maximum(current - s, 0.0)
+            feats_all.append(np.asarray(make_features(Qhat, xr, Xr)))
+            labels_all.append(np.asarray(labels))
+    return np.concatenate(feats_all), np.concatenate(labels_all)
+
+
 def train_scorer(
     k: int = 3,
     samples: int = 200_000,
@@ -187,8 +238,31 @@ def train_scorer(
               f"frac>1e-3 {(labels > 1e-3).mean():.3f})")
 
     n_train = int(0.95 * len(feats))
-    ftr, ltr = jnp.asarray(feats[:n_train]), jnp.asarray(labels[:n_train])
-    fte, lte = jnp.asarray(feats[n_train:]), jnp.asarray(labels[n_train:])
+    ftr, ltr = feats[:n_train], labels[:n_train]
+    fte, lte = feats[n_train:], labels[n_train:]
+    if harvest and k >= 4:
+        # k>=4 serves the QCQP path: harvest from real QCQP runs too
+        # (clique-padded candidates at constraint-shaped LP points).  Split
+        # BEFORE upweighting so repeated train rows never leak into the
+        # holdout; upweight by repetition because the QCQP tables are small
+        # and the synthetic pool would otherwise drown these rows.
+        qf, ql = harvest_dataset_qcqp(k, rounds=harvest_rounds, seed=seed)
+        qperm = np.random.default_rng(seed + 1).permutation(len(qf))
+        qf, ql = qf[qperm], ql[qperm]
+        q_tr = int(0.95 * len(qf))
+        reps = max(1, int(0.25 * n_train / max(q_tr, 1)))
+        ftr = np.concatenate([ftr] + [qf[:q_tr]] * reps)
+        ltr = np.concatenate([ltr] + [ql[:q_tr]] * reps)
+        tperm = np.random.default_rng(seed + 2).permutation(len(ftr))
+        ftr, ltr = ftr[tperm], ltr[tperm]
+        fte = np.concatenate([fte, qf[q_tr:]])
+        lte = np.concatenate([lte, ql[q_tr:]])
+        if verbose:
+            print(f"[train] +qcqp harvest: {len(qf)} rows x{reps} into train, "
+                  f"{len(qf) - q_tr} into holdout")
+    n_train = len(ftr)
+    ftr, ltr = jnp.asarray(ftr), jnp.asarray(ltr)
+    fte, lte = jnp.asarray(fte), jnp.asarray(lte)
 
     model = MLPScorer(hidden=tuple(hidden))
     params = init_params(k, hidden, seed)

@@ -106,3 +106,19 @@ def test_neural_score_fn_runs():
     s = fn(x, X, jax.random.PRNGKey(0))
     assert s.shape == (table.shape[0],)
     assert bool(jnp.isfinite(s).all())
+
+
+def test_harvest_dataset_qcqp_shapes():
+    """QCQP harvest rows have the k-scorer's feature dim and finite,
+    nonnegative exact labels (train.py harvest_dataset_qcqp)."""
+    from sdpcutsel_tpu.models.train import harvest_dataset_qcqp
+
+    k = 4
+    f, l = harvest_dataset_qcqp(
+        k, specs=[(12, 30, 2, 1)], rounds=1, per_round=32,
+        admm_iters=40, lp_max_iters=800,
+    )
+    assert f.shape == (32, feature_dim(k))
+    assert l.shape == (32,)
+    assert np.all(np.isfinite(f)) and np.all(np.isfinite(l))
+    assert np.all(l >= 0.0)
