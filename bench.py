@@ -18,7 +18,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import numpy as np
 
 
-def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=10):
+def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=40):
     """Sustained scoring rate: the fused Pallas kernel (ops/fused_score.py)
     run ``rounds_per_dispatch`` times inside one jit with a loop-carried
     dependence (matching production, where rounds run back-to-back on device;
