@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--lp-iters", type=int, default=400)
     ap.add_argument("--sel-size", type=int, default=16)
+    ap.add_argument("--strategy", default="neural",
+                    help="sharded scoring strategy (neural is the headline)")
     ap.add_argument("--data", type=int, default=1, help="mesh data axis")
     ap.add_argument("--cand", type=int, default=1, help="mesh cand axis")
     ap.add_argument("--cpu", action="store_true")
@@ -82,20 +84,25 @@ def main():
             state = shard_batched_state(state, mesh)
             table, valid = shard_candidates(combinations_table(n, 3), mesh)
             step = make_sharded_round_step(mesh, lp_iters=args.lp_iters,
-                                           sel_size=args.sel_size)
-            state = step(state, table, valid)       # warmup/compile
+                                           sel_size=args.sel_size,
+                                           strategy=args.strategy)
+            state, _ = step(state, table, valid)    # warmup/compile
             jax.block_until_ready(state)
             t0 = time.perf_counter()
             for _ in range(args.rounds):
-                state = step(state, table, valid)
+                state, _ = step(state, table, valid)
             jax.block_until_ready(state)
             dt = time.perf_counter() - t0
             total_t += dt
+            from sdpcutsel_tpu.parallel.round import certify_batched_f64
+
             rec = {
                 "n": n, "batch": B, "rounds": args.rounds,
+                "strategy": args.strategy,
                 "seconds": round(dt, 3),
                 "instance_rounds_per_sec": round(B * args.rounds / dt, 2),
-                "mean_bound": float(np.asarray(state.bound).mean()),
+                "mean_bound_certified_f64": float(
+                    certify_batched_f64(state).mean()),
             }
             recs.append(rec)
             print(rec, flush=True)
@@ -122,19 +129,22 @@ def main():
     state = shard_batched_state(state, mesh)
     table, valid = shard_candidates(combinations_table(args.n, 3), mesh)
     step = make_sharded_round_step(mesh, lp_iters=args.lp_iters,
-                                   sel_size=args.sel_size)
+                                   sel_size=args.sel_size,
+                                   strategy=args.strategy)
 
     # warmup / compile
-    state = step(state, table, valid)
+    state, _ = step(state, table, valid)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for _ in range(args.rounds):
-        state = step(state, table, valid)
+        state, _ = step(state, table, valid)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
-    bounds = np.asarray(state.bound)
+    from sdpcutsel_tpu.parallel.round import certify_batched_f64
+
+    bounds = certify_batched_f64(state)
     print({
         "batch": args.batch, "n": args.n, "mesh": f"{args.data}x{args.cand}",
         "rounds_per_sec": round(args.rounds / dt, 3),

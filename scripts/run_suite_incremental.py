@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--seeds", default="1")
     ap.add_argument("--strategies", default="neural,feasibility,random")
     ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--sel-size", type=int, default=20)
     ap.add_argument("--data-dir", default="data/boxqp")
     ap.add_argument("--out", default="results/suite.jsonl")
@@ -73,13 +74,13 @@ def main():
                 except json.JSONDecodeError:
                     continue
                 if "instance" in r:
-                    done.add((r["instance"], r["strategy"]))
+                    done.add((r["instance"], r["strategy"], r.get("k", 3)))
 
     logger = JSONLLogger(args.out)
     completed = 0
     for name in names:
         for strat in strategies:
-            if (name, strat) in done:
+            if (name, strat, args.k) in done:
                 continue
             if args.max_cells and completed >= args.max_cells:
                 print(f"[suite] cell budget reached ({completed})", flush=True)
@@ -87,7 +88,7 @@ def main():
                 return
             cfg = RunConfig(
                 lp=LPConfig(max_iters=args.lp_max_iters, tol=2e-6),
-                cuts=CutConfig(k=3, sel_size=args.sel_size, capacity=2048),
+                cuts=CutConfig(k=args.k, sel_size=args.sel_size, capacity=2048),
                 scorer=ScorerConfig(strategy=strat),
                 loop=LoopConfig(polish_iters=args.polish_iters),
             )

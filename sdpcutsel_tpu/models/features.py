@@ -24,8 +24,10 @@ import numpy as np
 
 @functools.lru_cache(maxsize=16)
 def tri_indices(k: int):
+    # numpy (not jnp) so the cache never retains arrays created inside a jax
+    # trace (an lru-cached device constant leaks out of shard_map/vmap traces)
     iu = np.triu_indices(k)
-    return jnp.asarray(iu[0]), jnp.asarray(iu[1])
+    return iu[0], iu[1]
 
 
 def feature_dim(k: int) -> int:

@@ -1,9 +1,10 @@
 """Fully sharded cutting-plane round step: P1 (candidate axis) x P2 (instance
-axis) on one mesh (SURVEY.md section 2.3).
+axis) on one mesh (SURVEY.md section 2.3) at production parity with the
+single-chip loop (loop/solver.py).
 
 One jitted shard_map over mesh ('data', 'cand'):
-  * each 'data' row holds a shard of the instance batch (independent BoxQP
-    problems, padded to a common n) — no collectives cross 'data';
+  * each 'data' row holds a shard of the instance batch (independent BoxQP /
+    QCQP problems, padded to a common n) — no collectives cross 'data';
   * within a row, the candidate table is sharded over 'cand'; the LP state is
     replicated over 'cand' (every chip re-solves its instances' LPs — the LP
     is tiny next to scoring, so replication beats communication);
@@ -11,6 +12,14 @@ One jitted shard_map over mesh ('data', 'cand'):
     candidates over 'cand' (P5 consensus), after which every chip appends the
     IDENTICAL cut rows, keeping the replicated pool/LP state consistent by
     construction.
+
+Production parity means the step runs the SAME machinery as the single-chip
+loop, not a toy: warm-started restarted averaged PDHG (lp/pdhg._solve_impl —
+restarts, ergodic averaging, omega rebalancing, KKT-based stopping), every
+scoring strategy (feasibility / neural / combined / random), slack-based cut
+purging, and a certified dual bound (the f32 on-device Lagrangian certificate
+each round; use certify_batched_f64 for the final f64 host recertification —
+both are valid for ANY dual y >= 0, see lp/pdhg.py).
 
 This is the step `__graft_entry__.dryrun_multichip` compiles over an
 N-virtual-device mesh, and the scale-out path for the instance-batched suite
@@ -20,33 +29,58 @@ benchmark (BASELINE.json configs 4-5).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..config import CutConfig, LPConfig, RunConfig, ScorerConfig
 from ..cuts.assemble import assemble_Z
-from ..cuts.eigen import batched_eigh_small, feasibility_scores
+from ..cuts.eigen import batched_eigh_small, feasibility_scores_from_point
 from ..cuts.generate import cuts_from_selected
-from ..lp.pdhg import PDHGState, _one_iter, estimate_norm
-from ..relax.cutbuffer import CutPool, append_cuts
-from ..relax.mccormick import SA, SB
+from ..lp.pdhg import PDHGState, _dual_bound, _solve_impl, estimate_norm
+from ..relax.cutbuffer import (
+    CutPool, append_cuts, cut_residuals, empty_pool, purge_pool,
+)
+from ..relax.denserows import DenseRows
 
 
 class BatchedRoundState(NamedTuple):
-    """Instance-batched solver state; leading axis = instance batch."""
+    """Instance-batched solver state; leading axis = instance batch B."""
 
     Q: jnp.ndarray        # (B, n, n)
     c: jnp.ndarray        # (B, n)
     pool: CutPool         # leaves with leading (B, ...)
     pdhg: PDHGState       # leaves with leading (B, ...)
-    bound: jnp.ndarray    # (B,) last primal objective estimate (max form)
+    key: jnp.ndarray      # (B, 2) per-instance PRNG keys (random strategy)
+    bound: jnp.ndarray    # (B,) this round's certified f32 dual bound (max form)
+    best_bound: jnp.ndarray  # (B,) running min of certified bounds (monotone)
 
 
-def init_batched_state(Qb, cb, capacity: int, kmax: int, dtype=jnp.float32):
+def _state_specs() -> BatchedRoundState:
+    """Every state leaf is sharded over the instance axis."""
+    return BatchedRoundState(
+        Q=P("data"), c=P("data"),
+        pool=CutPool(*(P("data"),) * 6),
+        pdhg=PDHGState(*(P("data"),) * 6),
+        key=P("data"), bound=P("data"), best_bound=P("data"),
+    )
+
+
+def empty_batched_dense(B: int, n: int, m: int = 0, dtype=jnp.float32) -> DenseRows:
+    """Batched dense-row block: (B, m, n, n) etc. m=0 for BoxQP."""
+    return DenseRows(
+        G=jnp.zeros((B, m, n, n), dtype=dtype),
+        g=jnp.zeros((B, m, n), dtype=dtype),
+        h=jnp.zeros((B, m), dtype=dtype),
+    )
+
+
+def init_batched_state(Qb, cb, capacity: int, kmax: int, dtype=jnp.float32,
+                       m_dense: int = 0, seed: int = 0) -> BatchedRoundState:
     from ..lp.pdhg import init_state
-    from ..relax.cutbuffer import empty_pool
 
     B, n = cb.shape
     pool = jax.tree.map(
@@ -54,103 +88,234 @@ def init_batched_state(Qb, cb, capacity: int, kmax: int, dtype=jnp.float32):
     )
     st = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (B,) + a.shape),
-        init_state(n, capacity, 0, dtype)
+        init_state(n, capacity, m_dense, dtype)
     )
+    inf = jnp.full((B,), jnp.inf, dtype)
     return BatchedRoundState(
         Q=jnp.asarray(Qb, dtype), c=jnp.asarray(cb, dtype),
         pool=CutPool(*pool), pdhg=PDHGState(*st),
-        bound=jnp.zeros((B,), dtype),
+        key=jax.random.split(jax.random.PRNGKey(seed), B),
+        bound=inf, best_bound=inf,
     )
 
 
-def _single_instance_round(Q, c, pool, st, table_shard, valid_shard,
-                           lp_iters: int, sel_size: int, viol_tol: float):
-    """One instance's round on one device's candidate shard (inside shard_map,
-    inside vmap over local instances)."""
+def _make_local_scorer(scorer: ScorerConfig, k: int, use_fused: bool):
+    """Local-shard scorer: fn(x, X, key, Q, table_shard) -> (Tshard,) scores.
+
+    Runs independently per ('data' instance, 'cand' shard) — x, X are
+    replicated over 'cand', the table rows are the shard's slice.  Strategies
+    mirror loop/solver.py's (SURVEY.md section 0.4); "neural" computes the
+    per-candidate Q features (models/features.py) on the fly from the
+    replicated Q, so nothing instance-specific needs pre-sharding.
+    """
+    strat = scorer.strategy
+
+    if strat == "feasibility":
+        def score(x, X, key, Q, table):
+            return feasibility_scores_from_point(x, X, table)
+        return score
+
+    if strat == "random":
+        def score(x, X, key, Q, table):
+            key = jax.random.fold_in(key, jax.lax.axis_index("cand"))
+            return jax.random.uniform(key, (table.shape[0],), dtype=x.dtype)
+        return score
+
+    if strat in ("neural", "combined"):
+        from ..models.features import candidate_features, candidate_q_features
+        from ..models.scorer import MLPScorer, load_params
+
+        params, _ = load_params(k, tuple(scorer.hidden), scorer.weights_path,
+                                scorer.seed)
+        neg = -jnp.inf
+        if use_fused:
+            from ..ops.fused_score import fused_score, mlp_params_for_kernel
+
+            W = [jnp.asarray(a) for a in mlp_params_for_kernel(params)]
+
+            def score(x, X, key, Q, table):
+                triQ, scale = candidate_q_features(Q, table)
+                nn, feas = fused_score(x, X, table, triQ, scale, *W,
+                                       block=1024, sweeps=5)
+                if strat == "combined":
+                    return jnp.where(feas > 0.0, nn, neg)
+                return nn
+            return score
+
+        model = MLPScorer(hidden=tuple(scorer.hidden))
+
+        def score(x, X, key, Q, table):
+            triQ, scale = candidate_q_features(Q, table)
+            feats = candidate_features(triQ, x, X, table)
+            s = scale * jnp.maximum(model.apply(params, feats), 0.0)
+            if strat == "combined":
+                viol = feasibility_scores_from_point(x, X, table)
+                s = jnp.where(viol > 0.0, s, neg)
+            return s
+        return score
+
+    raise ValueError(f"unsupported sharded strategy: {strat}")
+
+
+def _instance_round(Q, c, pool, st, key, best, table_shard, valid_shard,
+                    dense, score_local, lp: LPConfig, cuts: CutConfig):
+    """One instance's full production round on one device's candidate shard
+    (inside shard_map, inside vmap over the row's local instances)."""
     n = c.shape[0]
     dtype = c.dtype
     cx, cX = -c, -0.5 * Q
 
-    normK = estimate_norm(pool, n, 20, dtype)
-    eta = 0.9 / normK
+    # 1. warm-started restarted averaged PDHG (same solver as single-chip)
+    normK = estimate_norm(pool, n, lp.power_iters, dtype, dense)
+    st, info = _solve_impl(
+        cx, cX, pool, dense, st, normK, lp.omega0, lp.tol, lp.feas_tol,
+        lp.step_scale, lp.max_iters, min(lp.check_every, lp.max_iters),
+        lp.restart_period,
+    )
+    # certified dual bound (valid for any y >= 0; f32 on-device evaluation —
+    # recertify in f64 on host via certify_batched_f64 for reported numbers)
+    d = _dual_bound(cx, cX, pool, dense, st.yA, st.yB, st.yC, st.yD, n)
+    bound = -d
+    best = jnp.minimum(best, bound)
 
-    from ..relax.denserows import empty_dense
-
-    dense = empty_dense(n, dtype)
-
-    def body(_, s):
-        return _one_iter(cx, cX, pool, dense, n, s, eta, eta)
-
-    st = jax.lax.fori_loop(0, lp_iters, body, st)
-
-    # local feasibility scoring over the candidate shard
-    scores = feasibility_scores(assemble_Z(st.x, st.X, table_shard))
+    # 2. score the local candidate shard -> local top-k
+    key, sub = jax.random.split(key)
+    scores = score_local(st.x, st.X, sub, Q, table_shard)
     neg = jnp.asarray(-jnp.inf, dtype)
     scores = jnp.where(valid_shard, scores, neg)
-    lv, li = jax.lax.top_k(scores, sel_size)
+    lv, li = jax.lax.top_k(scores, cuts.sel_size)
     rows = table_shard[li]
 
-    # P5: consensus on global winners over the candidate axis
+    # 3. P5 consensus: all_gather local winners over 'cand', global top-k
     gv = jax.lax.all_gather(lv, "cand", tiled=True)
     gr = jax.lax.all_gather(rows, "cand", tiled=True)
-    v, i = jax.lax.top_k(gv, sel_size)
+    v, i = jax.lax.top_k(gv, cuts.sel_size)
     idx_sel = gr[i]
-    sel_valid = v > viol_tol
+    sel_valid = jnp.isfinite(v)
 
+    # 4. eigh of selected Z(rho) -> violated cut rows
     w, V = batched_eigh_small(assemble_Z(st.x, st.X, idx_sel))
     idx_r, lin_r, quad_r, rhs_r, valid_r = cuts_from_selected(
-        idx_sel, w, V, viol_tol, sel_valid=sel_valid
+        idx_sel, w, V, cuts.viol_tol, sel_valid=sel_valid
     )
+
+    # 5. purge slack cuts, then append (same order as loop/solver._post_lp)
+    yC = st.yC
+    if cuts.purge:
+        slack = cut_residuals(st.x, st.X, pool)
+        pool, yC = purge_pool(pool, yC, slack, cuts.purge_slack_tol)
     pool = append_cuts(pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
-    bound = -(jnp.dot(cx, st.x) + jnp.sum(cX * st.X))
-    return pool, st, bound
+    st = st._replace(yC=yC)
+    return pool, st, key, bound, best, info
 
 
-def make_sharded_round_step(mesh: Mesh, lp_iters: int = 50,
-                            sel_size: int = 8, viol_tol: float = 1e-4):
-    """Build the jitted sharded round step over the given mesh.
+def make_sharded_round_step(
+    mesh: Mesh,
+    cfg: Optional[RunConfig] = None,
+    *,
+    lp_iters: Optional[int] = None,
+    sel_size: Optional[int] = None,
+    viol_tol: Optional[float] = None,
+    strategy: Optional[str] = None,
+    use_fused: Optional[bool] = None,
+    m_dense: int = 0,
+    kmax: int = 3,
+):
+    """Build the jitted sharded production round step over the given mesh.
 
-    Returns step(state: BatchedRoundState, table, valid) -> BatchedRoundState
-    with shardings: state batched over 'data', table over 'cand'.
+    Knobs come from ``cfg`` (defaults to RunConfig()); the keyword overrides
+    are conveniences for benches/tests.  ``use_fused`` selects the Pallas
+    fused scorer for the neural path (default: only on TPU; each shard's
+    table slice must then be a multiple of 1024 rows —
+    parallel.sharding.shard_candidates(block=1024)).
+
+    Returns step(state: BatchedRoundState, table, valid, dense=None)
+    -> (state, info) with shardings: state leaves over 'data', table over
+    'cand'; info = per-instance {'lp_iters', 'kkt_error'} arrays.
     """
+    import dataclasses
+
+    cfg = cfg or RunConfig()
+    lp = cfg.lp
+    if lp_iters is not None:
+        lp = dataclasses.replace(lp, max_iters=lp_iters)
+    cuts = cfg.cuts
+    if sel_size is not None:
+        cuts = dataclasses.replace(cuts, sel_size=sel_size)
+    if viol_tol is not None:
+        cuts = dataclasses.replace(cuts, viol_tol=viol_tol)
+    scorer = cfg.scorer
+    if strategy is not None:
+        scorer = dataclasses.replace(scorer, strategy=strategy)
+    if use_fused is None:
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and scorer.strategy in ("neural", "combined")
+        )
+    score_local = _make_local_scorer(scorer, kmax, use_fused)
+
+    dense_spec = DenseRows(G=P("data"), g=P("data"), h=P("data"))
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(
-            BatchedRoundState(
-                Q=P("data"), c=P("data"),
-                pool=CutPool(*(P("data"),) * 6),
-                pdhg=PDHGState(*(P("data"),) * 6),
-                bound=P("data"),
-            ),
-            P("cand", None),
-            P("cand"),
-        ),
-        out_specs=BatchedRoundState(
-            Q=P("data"), c=P("data"),
-            pool=CutPool(*(P("data"),) * 6),
-            pdhg=PDHGState(*(P("data"),) * 6),
-            bound=P("data"),
-        ),
+        in_specs=(_state_specs(), P("cand", None), P("cand"), dense_spec),
+        out_specs=(_state_specs(), {"lp_iters": P("data"),
+                                    "kkt_error": P("data")}),
         check_vma=False,
     )
-    def step(state: BatchedRoundState, table_shard, valid_shard):
-        def per_instance(Q, c, pool, st):
-            return _single_instance_round(
-                Q, c, pool, st, table_shard, valid_shard,
-                lp_iters, sel_size, viol_tol,
+    def step(state: BatchedRoundState, table_shard, valid_shard, dense):
+        def per_instance(Q, c, pool, st, key, best, dn):
+            return _instance_round(
+                Q, c, pool, st, key, best, table_shard, valid_shard, dn,
+                score_local, lp, cuts,
             )
 
-        pool, st, bound = jax.vmap(per_instance)(
-            state.Q, state.c, state.pool, state.pdhg
+        pool, st, key, bound, best, info = jax.vmap(per_instance)(
+            state.Q, state.c, state.pool, state.pdhg, state.key,
+            state.best_bound, dense,
         )
-        return BatchedRoundState(state.Q, state.c, pool, st, bound)
+        out = BatchedRoundState(state.Q, state.c, pool, st, key, bound, best)
+        return out, {"lp_iters": info["iters"], "kkt_error": info["kkt_error"]}
 
-    def apply(state, table, valid):
-        return jax.jit(step)(state, table, valid)
+    jstep = jax.jit(step)
+
+    def apply(state: BatchedRoundState, table, valid,
+              dense: Optional[DenseRows] = None):
+        if dense is None:
+            B, n = state.c.shape
+            dense = empty_batched_dense(B, n, m_dense, state.c.dtype)
+            dense = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P("data"))),
+                dense,
+            )
+        return jstep(state, table, valid, dense)
 
     return apply
+
+
+def certify_batched_f64(state: BatchedRoundState,
+                        dense: Optional[DenseRows] = None) -> np.ndarray:
+    """Host-side f64 recertification of every instance's bound (lp/pdhg.
+    dual_bound_f64, incl. the per-block dual polish).  Returns (B,) certified
+    max-form upper bounds — use these for reported/benchmarked numbers; the
+    on-device state.bound is the same certificate evaluated in f32."""
+    from ..lp.pdhg import dual_bound_f64
+
+    B = int(state.c.shape[0])
+    pool_np = jax.tree.map(np.asarray, state.pool)
+    st_np = jax.tree.map(np.asarray, state.pdhg)
+    Q = np.asarray(state.Q)
+    c = np.asarray(state.c)
+    dense_np = jax.tree.map(np.asarray, dense) if dense is not None else None
+    out = np.empty((B,), np.float64)
+    for i in range(B):
+        pool_i = CutPool(*(leaf[i] for leaf in pool_np))
+        st_i = PDHGState(*(leaf[i] for leaf in st_np))
+        dn_i = (DenseRows(*(leaf[i] for leaf in dense_np))
+                if dense_np is not None and dense_np.h.shape[1] > 0 else None)
+        out[i] = dual_bound_f64(Q[i], c[i], pool_i, st_i, dense=dn_i)
+    return out
 
 
 def bucket_instances(instances):
