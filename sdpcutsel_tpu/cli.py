@@ -31,18 +31,26 @@ def _common(ap):
     ap.add_argument("--viol-tol", type=float, default=1e-4)
     ap.add_argument("--log", default=None, help="JSONL output path")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="SECTION.FIELD=VALUE",
+                    help="generic config override, repeatable (e.g. "
+                         "--set lp.check_every=50 --set cuts.purge=false)")
 
 
 def _config(args):
-    from .config import CutConfig, LPConfig, LoopConfig, RunConfig, ScorerConfig
+    from .config import (
+        CutConfig, LPConfig, LoopConfig, RunConfig, ScorerConfig,
+        apply_overrides,
+    )
 
-    return RunConfig(
+    cfg = RunConfig(
         lp=LPConfig(tol=args.lp_tol, max_iters=args.lp_max_iters),
         cuts=CutConfig(k=args.k, sel_size=args.sel_size,
                        capacity=args.capacity, viol_tol=args.viol_tol),
         scorer=ScorerConfig(strategy=args.strategy),
         loop=LoopConfig(rounds=args.rounds),
     )
+    return apply_overrides(cfg, getattr(args, "overrides", None))
 
 
 def main(argv=None):

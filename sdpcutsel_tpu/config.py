@@ -3,8 +3,8 @@
 The reference exposes its knobs as function kwargs on ``cut_select_algo``
 (instance, k, sel_size, strategy, round count, tolerances — SURVEY.md section 5.6).
 Here every knob lives in one frozen dataclass tree so a run is fully described
-by a single ``RunConfig`` value; the CLI maps ``--section.field=value``
-overrides onto it.
+by a single ``RunConfig`` value; the CLI maps repeated
+``--set section.field=value`` overrides onto it via ``apply_overrides``.
 """
 
 from __future__ import annotations
@@ -96,3 +96,46 @@ class RunConfig:
 def override(cfg, **kwargs):
     """Functional update helper: override(cfg, lp=override(cfg.lp, tol=1e-7))."""
     return dataclasses.replace(cfg, **kwargs)
+
+
+def _coerce(value: str, current):
+    """Parse a CLI string to the type of the field it replaces."""
+    if isinstance(current, bool):
+        if value.lower() in ("1", "true", "yes", "on"):
+            return True
+        if value.lower() in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"expected a boolean, got {value!r}")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        return tuple(int(v) for v in value.split(",") if v)
+    return value  # str / Optional[str]
+
+
+def apply_overrides(cfg: RunConfig, assignments) -> RunConfig:
+    """Apply ``section.field=value`` strings (e.g. from repeated CLI --set
+    flags) to a RunConfig: apply_overrides(cfg, ["lp.check_every=50",
+    "cuts.purge=false", "scorer.hidden=32,32", "seed=7"])."""
+    for a in assignments or ():
+        try:
+            path, value = a.split("=", 1)
+        except ValueError:
+            raise ValueError(f"override {a!r} is not of form key=value")
+        parts = path.split(".")
+        if len(parts) == 1:
+            (field,) = parts
+            cur = getattr(cfg, field)  # raises AttributeError on bad name
+            cfg = dataclasses.replace(cfg, **{field: _coerce(value, cur)})
+        elif len(parts) == 2:
+            section, field = parts
+            sec = getattr(cfg, section)
+            cur = getattr(sec, field)
+            cfg = dataclasses.replace(
+                cfg, **{section: dataclasses.replace(
+                    sec, **{field: _coerce(value, cur)})})
+        else:
+            raise ValueError(f"override path too deep: {path!r}")
+    return cfg

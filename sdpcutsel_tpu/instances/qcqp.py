@@ -86,6 +86,44 @@ def generate_qcqp(n: int, density: int, m: int, seed: int) -> QCQPInstance:
     return QCQPInstance(name, Q0, c0, tuple(Qs), tuple(cs), tuple(bs))
 
 
+def generate_qcqp_family(n: int, density: int, m: int, seed: int,
+                         B: int) -> list[QCQPInstance]:
+    """B instances sharing ONE sparsity pattern (deterministic in the args).
+
+    Batched sharded QCQP solving (parallel/round.py) needs a common
+    clique-candidate table across the batch, i.e. a common sparsity graph —
+    the scenario-batching use case: one problem structure, many coefficient
+    realizations.  Each member rescales the base instance's objective and
+    constraint quadratics entrywise on the SAME support (zeros stay zero) and
+    redraws the linear terms; right-hand sides are re-generated feasible at
+    x0 = 0.25*ones, like generate_qcqp."""
+    base = generate_qcqp(n, density, m, seed)
+    x0 = np.full(n, 0.25)
+    out = []
+    for b in range(B):
+        key = (n << 40) | (density << 24) | (m << 16) | (seed << 8) | (b + 1)
+        rng = np.random.Generator(np.random.Philox(key=[key, 0xFA11]))
+
+        def rescale(Q):
+            S = rng.uniform(0.5, 1.5, size=Q.shape)
+            S = 0.5 * (S + S.T)
+            return Q * S
+
+        Q0 = rescale(base.Q0)
+        c0 = rng.integers(-100, 101, size=n).astype(np.float64)
+        Qs, cs, bs = [], [], []
+        for Qi in base.Qs:
+            Qb = rescale(Qi)
+            cb = rng.integers(-100, 101, size=n).astype(np.float64)
+            val = 0.5 * x0 @ Qb @ x0 + cb @ x0
+            Qs.append(Qb)
+            cs.append(cb)
+            bs.append(float(val + rng.uniform(5.0, 50.0)))
+        out.append(QCQPInstance(f"{base.name}-fam{b}", Q0, c0,
+                                tuple(Qs), tuple(cs), tuple(bs)))
+    return out
+
+
 def load_or_generate_qcqp(name: str) -> QCQPInstance:
     mt = _NAME_RE.match(name)
     if mt is None:

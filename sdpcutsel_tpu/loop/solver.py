@@ -68,7 +68,56 @@ def _feasibility_all(x, X, table):
     return feasibility_scores_from_point(x, X, table)
 
 
-class CutSolver:
+class CheckpointableSolver:
+    """Round-granular checkpoint/resume shared by the BoxQP and QCQP solvers
+    (SURVEY.md section 5.4): snapshot = (cut pool, PDHG warm-start state, RNG
+    key, history).  Subclasses provide .inst, .cfg, .pool, .state, .key,
+    .history."""
+
+    def _checkpoint_path(self) -> Optional[str]:
+        lc = self.cfg.loop
+        if not lc.checkpoint_every or not lc.checkpoint_dir:
+            return None
+        import os
+
+        return os.path.join(lc.checkpoint_dir, f"{self.inst.name}.ck")
+
+    def _maybe_checkpoint(self):
+        path = self._checkpoint_path()
+        if path is None:
+            return
+        if len(self.history) % self.cfg.loop.checkpoint_every == 0:
+            self.checkpoint(path)
+
+    def checkpoint(self, path: str):
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path, self.pool, self.state, self.key,
+            [dataclasses.asdict(h) for h in self.history],
+            {"instance": self.inst.name, "strategy": self.cfg.scorer.strategy},
+        )
+
+    def restore(self, path: str):
+        """Resume from a snapshot written by checkpoint() — the loop is
+        round-granular restartable (cut pool + PDHG warm start + RNG key +
+        history)."""
+        from ..utils.checkpoint import load_checkpoint
+
+        pd, sd, key, hist, meta = load_checkpoint(path)
+        if meta.get("instance") != self.inst.name:
+            raise ValueError(
+                f"checkpoint is for {meta.get('instance')}, "
+                f"not {self.inst.name}"
+            )
+        self.pool = CutPool(**{f: jnp.asarray(v) for f, v in pd.items()})
+        self.state = PDHGState(**{f: jnp.asarray(v) for f, v in sd.items()})
+        self.key = jnp.asarray(key)
+        self.history = [RoundStats(**h) for h in hist]
+        return self
+
+
+class CutSolver(CheckpointableSolver):
     """One BoxQP instance; dense candidate set of all C(n, k) subsets."""
 
     def __init__(
@@ -264,51 +313,6 @@ class CutSolver:
             b = min(b, self.history[-1].bound)
             self.history[-1].bound = b
         return b
-
-    # -- checkpoint/resume (SURVEY.md section 5.4) --------------------------
-    def _checkpoint_path(self) -> Optional[str]:
-        lc = self.cfg.loop
-        if not lc.checkpoint_every or not lc.checkpoint_dir:
-            return None
-        import os
-
-        return os.path.join(lc.checkpoint_dir, f"{self.inst.name}.ck")
-
-    def _maybe_checkpoint(self):
-        path = self._checkpoint_path()
-        if path is None:
-            return
-        if len(self.history) % self.cfg.loop.checkpoint_every == 0:
-            self.checkpoint(path)
-
-    def checkpoint(self, path: str):
-        from ..utils.checkpoint import save_checkpoint
-
-        save_checkpoint(
-            path, self.pool, self.state, self.key,
-            [dataclasses.asdict(h) for h in self.history],
-            {"instance": self.inst.name, "strategy": self.cfg.scorer.strategy},
-        )
-
-    def restore(self, path: str):
-        """Resume from a snapshot written by checkpoint() — the loop is
-        round-granular restartable (cut pool + PDHG warm start + RNG key +
-        history)."""
-        import jax.numpy as jnp
-
-        from ..utils.checkpoint import load_checkpoint
-
-        pd, sd, key, hist, meta = load_checkpoint(path)
-        if meta.get("instance") != self.inst.name:
-            raise ValueError(
-                f"checkpoint is for {meta.get('instance')}, "
-                f"not {self.inst.name}"
-            )
-        self.pool = CutPool(**{f: jnp.asarray(v) for f, v in pd.items()})
-        self.state = PDHGState(**{f: jnp.asarray(v) for f, v in sd.items()})
-        self.key = jnp.asarray(key)
-        self.history = [RoundStats(**h) for h in hist]
-        return self
 
     @property
     def bounds(self) -> np.ndarray:

@@ -107,11 +107,6 @@ def _unpack(Z):
     return {(i, j): Z[..., i, j] for i in range(m) for j in range(i, m)}
 
 
-@functools.partial(jnp.vectorize, excluded=(1, 2), signature="(m,m)->()")
-def _noop(Z, *_):  # pragma: no cover - placeholder to keep signature docs
-    raise NotImplementedError
-
-
 def jacobi_eigvals(Z, sweeps: int = 6):
     """Eigenvalues (ascending) of a (T, m, m) symmetric batch, m <= 8."""
     m = Z.shape[-1]

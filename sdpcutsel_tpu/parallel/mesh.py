@@ -28,13 +28,23 @@ def make_mesh(data: int = 1, cand: int = 1, devices=None) -> Mesh:
         raise ValueError(f"mesh {data}x{cand} needs {need} devices, "
                          f"have {len(devices)}")
     if jax.process_count() > 1:
-        from jax.experimental.mesh_utils import create_hybrid_device_mesh
+        n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+        if n_slices > 1:
+            # real multi-slice TPU: ICI within a slice, DCN across slices
+            from jax.experimental.mesh_utils import create_hybrid_device_mesh
 
-        arr = create_hybrid_device_mesh(
-            mesh_shape=(data // jax.process_count() or 1, cand),
-            dcn_mesh_shape=(jax.process_count(), 1),
-            devices=devices,
-        )
+            arr = create_hybrid_device_mesh(
+                mesh_shape=(max(data // n_slices, 1), cand),
+                dcn_mesh_shape=(n_slices, 1),
+                devices=devices,
+            )
+        else:
+            # multi-process single-slice (or the CPU multi-process
+            # simulation, tests/test_multihost.py): order devices so the
+            # 'data' axis spans processes (the DCN-like boundary — no
+            # collectives cross it) and 'cand' groups stay process-local
+            devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+            arr = np.asarray(devices[:need]).reshape(data, cand)
     else:
         arr = np.asarray(devices[:need]).reshape(data, cand)
     return Mesh(arr, ("data", "cand"))

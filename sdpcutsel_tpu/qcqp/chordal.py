@@ -38,27 +38,30 @@ def _mcs_order(n: int, adj: list[set]) -> list[int]:
 
 
 def chordal_decomposition(n: int, edges, use_native: bool = True):
-    """edges: iterable of (i, j) pairs.  Returns (cliques, fill_edges) where
+    """edges: iterable of (i, j) pairs.  Returns (cliques, nfill) where
     cliques is a list of sorted tuples (maximal cliques of the chordal
-    extension) and fill_edges the added fill-in edges.
-
-    Tries the C++ fast path (native/chordal.cpp, bit-identical algorithm)
-    first; the fill edge LIST is only produced by the Python path (the native
-    path returns the count), so callers needing the explicit list pass
-    use_native=False."""
+    extension) and nfill the NUMBER of fill-in edges added — a count on both
+    backends (the C++ fast path, native/chordal.cpp, does not export the
+    edge list).  Callers needing the explicit edges use
+    ``chordal_fill_edges`` (Python path only)."""
     edges = list(edges)
     if use_native:
         from ..native import chordal_decompose_native
 
         out = chordal_decompose_native(n, edges)
         if out is not None:
-            cliques, nfill = out
-            if nfill == 0:
-                return cliques, []
-            # fall through to Python only when the caller may want the list;
-            # cliques are identical either way, so return them directly with
-            # a count-bearing placeholder list of the right length.
-            return cliques, [None] * nfill
+            return out
+    cliques, fill = _chordal_python(n, edges)
+    return cliques, len(fill)
+
+
+def chordal_fill_edges(n: int, edges) -> list[tuple[int, int]]:
+    """Explicit fill-in edge list of the chordal extension (Python path)."""
+    _, fill = _chordal_python(n, list(edges))
+    return fill
+
+
+def _chordal_python(n: int, edges):
     adj = [set() for _ in range(n)]
     for i, j in edges:
         if i == j:

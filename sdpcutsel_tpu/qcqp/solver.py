@@ -27,7 +27,7 @@ from ..cuts.assemble import assemble_Z
 from ..cuts.eigen import batched_eigh_small, feasibility_scores_from_point
 from ..cuts.generate import cuts_from_selected
 from ..instances.qcqp import QCQPInstance
-from ..loop.solver import RoundStats, _select_and_generate
+from ..loop.solver import CheckpointableSolver, RoundStats, _select_and_generate
 from ..lp.pdhg import PDHGState, dual_bound_f64, init_state, solve_lp
 from ..relax.cutbuffer import (
     CutPool, append_cuts, cut_residuals, empty_pool, purge_pool,
@@ -36,7 +36,7 @@ from ..relax.denserows import dense_from_qcqp, empty_dense
 from .chordal import chordal_decomposition, clique_candidates
 
 
-class CutSolverQCQP:
+class CutSolverQCQP(CheckpointableSolver):
     def __init__(self, inst: QCQPInstance, cfg: RunConfig,
                  score_fn: Optional[Callable] = None, dtype=jnp.float32):
         self.inst = inst
@@ -128,6 +128,17 @@ class CutSolverQCQP:
 
             fn = exact_score_fn(self.Q, self.table)
             return lambda x, X, key: masked(fn(x, X, key))
+        if strat == "triangle":
+            # handled structurally in do_round (RLT-3 rows need no eigh);
+            # scoring-only callers still get the violation ranking
+            if self.cfg.cuts.k != 3:
+                raise ValueError(
+                    "triangle strategy requires k=3 (RLT-3 inequalities are "
+                    f"defined on triples); got k={self.cfg.cuts.k}")
+            from ..cuts.triangle import triangle_scores
+
+            return jax.jit(
+                lambda x, X, key: masked(triangle_scores(x, X, self.table)))
         raise ValueError(f"unknown strategy: {strat}")
 
     def do_round(self) -> RoundStats:
@@ -143,10 +154,18 @@ class CutSolverQCQP:
 
         x, X = self.state.x, self.state.X
         self.key, sub = jax.random.split(self.key)
-        scores = self._score_fn(x, X, sub)
-        idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
-            x, X, self.table, scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
-        )
+        if cfg.scorer.strategy == "triangle":
+            from ..cuts.triangle import triangle_select_and_generate
+
+            idx_r, lin_r, quad_r, rhs_r, valid_r = triangle_select_and_generate(
+                x, X, self.table, cfg.cuts.sel_size, cfg.cuts.viol_tol,
+                table_mask=self.table_valid,
+            )
+        else:
+            scores = self._score_fn(x, X, sub)
+            idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
+                x, X, self.table, scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
+            )
 
         if cfg.cuts.purge:
             slack = cut_residuals(x, X, self.pool)
@@ -174,6 +193,7 @@ class CutSolverQCQP:
         prev = None
         for _ in range(rounds):
             s = self.do_round()
+            self._maybe_checkpoint()
             if prev is not None:
                 rel = abs(prev - s.bound) / (1.0 + abs(prev))
                 if rel < self.cfg.loop.improvement_tol and s.cuts_added == 0:

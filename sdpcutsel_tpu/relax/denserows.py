@@ -52,6 +52,28 @@ def dense_from_qcqp(Qs, cs, bs, dtype=jnp.float32) -> DenseRows:
     )
 
 
+def batched_dense_from_qcqp(instances, dtype=jnp.float32) -> DenseRows:
+    """Stack per-instance normalized dense blocks into (B, m_max, ...) leaves
+    for the sharded batched round (parallel/round.py).  Instances with fewer
+    constraints get inert all-zero rows (h = 0, coefficients 0: the residual
+    max(h - Kz, 0) is identically 0, so padding never binds)."""
+    B = len(instances)
+    n = instances[0].n
+    m_max = max(inst.m for inst in instances)
+    G = np.zeros((B, m_max, n, n), np.float64)
+    g = np.zeros((B, m_max, n), np.float64)
+    h = np.zeros((B, m_max), np.float64)
+    for i, inst in enumerate(instances):
+        if inst.m == 0:
+            continue
+        d = dense_from_qcqp(inst.Qs, inst.cs, inst.bs, jnp.float32)
+        G[i, :inst.m] = np.asarray(d.G)
+        g[i, :inst.m] = np.asarray(d.g)
+        h[i, :inst.m] = np.asarray(d.h)
+    return DenseRows(G=jnp.asarray(G, dtype), g=jnp.asarray(g, dtype),
+                     h=jnp.asarray(h, dtype))
+
+
 def dense_residuals(x, X, dense: DenseRows, include_rhs: bool = True):
     """K z (linear part) for the dense block; (m,)."""
     r = jnp.einsum("mij,ij->m", dense.G, X) + dense.g @ x

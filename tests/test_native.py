@@ -19,12 +19,12 @@ def test_chordal_native_matches_python():
     for n, d, seed in [(10, 30, 1), (20, 20, 2), (15, 60, 3)]:
         inst = generate_qcqp(n, d, 2, seed)
         edges = inst.sparsity_graph()
-        py_cl, py_fill = chordal_decomposition(n, edges, use_native=False)
+        py_cl, py_nfill = chordal_decomposition(n, edges, use_native=False)
         nat = chordal_decompose_native(n, edges)
         assert nat is not None
         nat_cl, nat_fill = nat
         assert nat_cl == py_cl
-        assert nat_fill == len(py_fill)
+        assert nat_fill == py_nfill
 
 
 def test_chordal_native_cycle():

@@ -3,7 +3,7 @@ import pytest
 
 from sdpcutsel_tpu.instances.qcqp import generate_qcqp, load_or_generate_qcqp
 from sdpcutsel_tpu.qcqp.chordal import (
-    chordal_decomposition, clique_candidates, _mcs_order,
+    chordal_decomposition, chordal_fill_edges, clique_candidates, _mcs_order,
 )
 
 
@@ -21,8 +21,10 @@ def test_generate_qcqp_deterministic():
 def test_chordal_on_cycle():
     # 4-cycle needs one fill edge; cliques become two triangles
     edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
-    cliques, fill = chordal_decomposition(4, edges)
-    assert len(fill) == 1
+    cliques, nfill = chordal_decomposition(4, edges)
+    assert nfill == 1
+    # explicit fill edge list (Python path) agrees with the count
+    assert len(chordal_fill_edges(4, edges)) == 1
     assert all(len(c) == 3 for c in cliques)
     assert len(cliques) == 2
     # union of cliques covers all original edges
@@ -38,16 +40,16 @@ def test_chordal_on_cycle():
 def test_chordal_on_complete_graph():
     n = 5
     edges = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    cliques, fill = chordal_decomposition(n, edges)
-    assert fill == []
+    cliques, nfill = chordal_decomposition(n, edges)
+    assert nfill == 0
     assert cliques == [tuple(range(n))]
 
 
 def test_chordal_on_tree():
     # trees are chordal; maximal cliques are the edges
     edges = [(0, 1), (1, 2), (1, 3), (3, 4)]
-    cliques, fill = chordal_decomposition(5, edges)
-    assert fill == []
+    cliques, nfill = chordal_decomposition(5, edges)
+    assert nfill == 0
     assert sorted(cliques) == sorted([(0, 1), (1, 2), (1, 3), (3, 4)])
 
 

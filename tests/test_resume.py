@@ -39,6 +39,38 @@ def test_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(b_bounds, ref_bounds, rtol=1e-5)
 
 
+def test_qcqp_resume_matches_uninterrupted(tmp_path):
+    """QCQP solver has the same round-granular checkpoint/resume as BoxQP
+    (VERDICT round-1 item 7): resumed run == uninterrupted run."""
+    from sdpcutsel_tpu.instances.qcqp import generate_qcqp
+    from sdpcutsel_tpu.qcqp.solver import CutSolverQCQP
+
+    inst = generate_qcqp(12, 40, 2, 1)
+
+    def cfg(tmp=None):
+        return RunConfig(
+            lp=LPConfig(max_iters=4000, tol=2e-6),
+            cuts=CutConfig(k=3, sel_size=6, capacity=128),
+            scorer=ScorerConfig(strategy="feasibility"),
+            loop=LoopConfig(rounds=4, checkpoint_every=1,
+                            checkpoint_dir=str(tmp) if tmp else None),
+        )
+
+    ref = CutSolverQCQP(inst, cfg())
+    ref.run(rounds=4)
+    ref_bounds = np.asarray([h.bound for h in ref.history])
+
+    a = CutSolverQCQP(inst, cfg(tmp_path))
+    a.run(rounds=2)
+    b = CutSolverQCQP(inst, cfg(tmp_path)).restore(a._checkpoint_path())
+    assert len(b.history) == 2
+    b.run(rounds=2)
+    b_bounds = np.asarray([h.bound for h in b.history])
+
+    assert len(b_bounds) == 4
+    np.testing.assert_allclose(b_bounds, ref_bounds, rtol=1e-5)
+
+
 def test_restore_rejects_wrong_instance(tmp_path):
     import pytest
 

@@ -100,3 +100,23 @@ def test_plots_render_all(tmp_path):
     assert (out / "gap_vs_rounds_spar010-100-1.svg").exists()
     assert (out / "gap_vs_time_spar010-100-1.svg").exists()
     assert (out / "suite_summary.svg").exists()
+
+
+def test_config_apply_overrides():
+    from sdpcutsel_tpu.config import RunConfig, apply_overrides
+
+    cfg = apply_overrides(RunConfig(), [
+        "lp.check_every=50", "cuts.purge=false", "scorer.hidden=32,32",
+        "seed=7", "lp.tol=1e-7",
+    ])
+    assert cfg.lp.check_every == 50 and cfg.lp.tol == 1e-7
+    assert cfg.cuts.purge is False
+    assert cfg.scorer.hidden == (32, 32)
+    assert cfg.seed == 7
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_overrides(RunConfig(), ["lp.tol"])
+    with pytest.raises(AttributeError):
+        apply_overrides(RunConfig(), ["lp.nonexistent=1"])
