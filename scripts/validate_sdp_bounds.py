@@ -1,0 +1,74 @@
+"""Validate the SDP-bound registry (VERDICT round-1 item 6).
+
+For each instance in data/boxqp/bounds.json (or the names given), sandwich
+the SDP value: recompute the eigencut UPPER bound and the independent
+feasible-point LOWER bound (loop/sdp_bound.sdp_lower_bound), then record
+into the registry entry:
+
+    sdp_lower     — the independent f64 lower bound
+    sdp_rel_width — (upper - lower) / (1 + |upper|), the certified cap on
+                    the error the stall-stop can introduce
+    sdp_ok        — registry value lies in [lower - tol, upper + tol]
+
+Usage:
+    python scripts/validate_sdp_bounds.py --names spar020-100-1,spar030-50-1
+    python scripts/validate_sdp_bounds.py --max-n 50        # whole registry
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="data/boxqp")
+    ap.add_argument("--names", default=None, help="comma list; default all")
+    ap.add_argument("--max-n", type=int, default=50)
+    ap.add_argument("--max-rounds", type=int, default=60)
+    ap.add_argument("--lp-max-iters", type=int, default=20000)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from sdpcutsel_tpu.config import LPConfig
+    from sdpcutsel_tpu.instances import load_or_generate
+    from sdpcutsel_tpu.loop.sdp_bound import validate_sdp_bound
+
+    reg_path = os.path.join(args.data_dir, "bounds.json")
+    with open(reg_path) as f:
+        reg = json.load(f)
+    names = (args.names.split(",") if args.names else sorted(reg))
+    lp = LPConfig(max_iters=args.lp_max_iters, tol=2e-6)
+
+    for name in names:
+        if name not in reg:
+            print(f"[validate] {name}: not in registry, skipping", flush=True)
+            continue
+        n = int(name[4:7])
+        if n > args.max_n:
+            continue
+        inst = load_or_generate(name, data_dir=args.data_dir)
+        ub, lb, rel = validate_sdp_bound(inst, lp, max_rounds=args.max_rounds)
+        rec = reg[name]
+        tol = 1e-3 * (1 + abs(ub))
+        ok = lb - tol <= rec["sdp"] <= ub + tol
+        rec.update({"sdp_lower": lb, "sdp_rel_width": rel, "sdp_ok": bool(ok)})
+        print(f"[validate] {name}: registry={rec['sdp']:.4f} "
+              f"fresh_ub={ub:.4f} lb={lb:.4f} rel_width={rel:.2e} ok={ok}",
+              flush=True)
+        with open(reg_path, "w") as f:
+            json.dump(reg, f, indent=1, sort_keys=True)
+    print("[validate] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,10 @@ def _common(ap):
                     metavar="SECTION.FIELD=VALUE",
                     help="generic config override, repeatable (e.g. "
                          "--set lp.check_every=50 --set cuts.purge=false)")
+    ap.add_argument("--debug", action="store_true",
+                    help="jax NaN-checking + per-round chex state asserts")
+    ap.add_argument("--trace", default=None, metavar="LOGDIR",
+                    help="emit a Perfetto/XProf trace of the run to LOGDIR")
 
 
 def _config(args):
@@ -49,6 +53,7 @@ def _config(args):
                        capacity=args.capacity, viol_tol=args.viol_tol),
         scorer=ScorerConfig(strategy=args.strategy),
         loop=LoopConfig(rounds=args.rounds),
+        debug=getattr(args, "debug", False),
     )
     return apply_overrides(cfg, getattr(args, "overrides", None))
 
@@ -110,10 +115,13 @@ def main(argv=None):
     if args.cmd == "solve":
         from .bench.suite import instance_gap_closed
         from .utils.logging import JSONLLogger
+        from .utils.profiling import trace
 
         logger = JSONLLogger(args.log) if args.log else None
-        rec = instance_gap_closed(args.instance, _config(args), args.data_dir,
-                                  rounds=args.rounds, logger=logger)
+        with trace(args.trace):
+            rec = instance_gap_closed(args.instance, _config(args),
+                                      args.data_dir, rounds=args.rounds,
+                                      logger=logger)
         print(json.dumps(rec, default=float))
         return 0
 

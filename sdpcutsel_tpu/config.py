@@ -91,6 +91,8 @@ class RunConfig:
     loop: LoopConfig = field(default_factory=LoopConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     seed: int = 0
+    debug: bool = False   # jax NaN-checking + per-round chex state asserts
+                          # (utils/debug.py, SURVEY.md section 5.2)
 
 
 def override(cfg, **kwargs):

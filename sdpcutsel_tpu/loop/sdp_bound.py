@@ -80,8 +80,11 @@ def sdp_relaxation_bound(
     verbose: bool = False,
     stall_tol: float = 5e-5,
     stall_rounds: int = 5,
+    with_point: bool = False,
 ):
-    """Returns (sdp_bound, initial_relaxation_bound, history list).
+    """Returns (sdp_bound, initial_relaxation_bound, history list); with
+    with_point=True additionally the final LP point (x, X) as f64 numpy —
+    the input to ``sdp_lower_bound``'s independent validation.
 
     Accepts a BoxQP instance (Q, c) or a QCQP instance (Q0, c0, constraint
     rows become a DenseRows prefix of the eigencut buffer)."""
@@ -134,7 +137,84 @@ def sdp_relaxation_bound(
             if abs(prev - bound) <= stall_tol * (1.0 + abs(bound)):
                 break
 
+    if with_point:
+        point = (np.asarray(state.x, np.float64), np.asarray(state.X, np.float64))
+        return history[-1]["bound"], bound0, history, point
     return history[-1]["bound"], bound0, history
+
+
+def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2) -> float:
+    """Independent f64 LOWER bound on the SDP relaxation value from a
+    constructed feasible point (VERDICT round-1 item 6: the eigencut loop's
+    stall-stop yields a certified UPPER bound that could in principle stop
+    too high, silently shrinking every gap-closed denominator — this
+    certificate bounds that error from the other side).
+
+    Construction: (1) repair the final LP point (x*, X*) to exact McCormick
+    feasibility (entrywise clip of X into [max(0, x_i+x_j-1), min(x_i, x_j)]
+    — the box is symmetric, so symmetry survives); (2) take the strictly
+    PSD-interior McCormick point x0 = 0.5*1, X0 = 0.25*11' + gamma*I; (3)
+    lambda_min of Z(alpha) = (1-alpha) Z* + alpha Z0 is concave in alpha, so
+    bisection finds the smallest alpha with Z(alpha) PSD; the affine
+    combination stays McCormick-feasible, and its objective is a valid lower
+    bound on the SDP max."""
+    Q = np.asarray(Q, np.float64)
+    c = np.asarray(c, np.float64)
+    n = c.shape[0]
+    x = np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+    X = 0.5 * (X + X.T)
+    lo = np.maximum(0.0, x[:, None] + x[None, :] - 1.0)
+    hi = np.minimum(x[:, None], x[None, :])
+    X = np.clip(np.asarray(X, np.float64), lo, hi)
+
+    def Zof(xv, Xv):
+        Z = np.empty((n + 1, n + 1))
+        Z[0, 0] = 1.0
+        Z[0, 1:] = xv
+        Z[1:, 0] = xv
+        Z[1:, 1:] = Xv
+        return Z
+
+    x0 = np.full(n, 0.5)
+    X0 = np.full((n, n), 0.25) + gamma * np.eye(n)
+    Zs, Z0 = Zof(x, X), Zof(x0, X0)
+    assert np.linalg.eigvalsh(Z0)[0] > 0, "interior anchor must be PSD"
+
+    def lam(alpha):
+        return np.linalg.eigvalsh((1 - alpha) * Zs + alpha * Z0)[0]
+
+    if lam(0.0) >= 0.0:
+        alpha = 0.0
+    else:
+        a, b = 0.0, 1.0  # lam(1) > 0
+        for _ in range(60):
+            mid = 0.5 * (a + b)
+            if lam(mid) >= 0.0:
+                b = mid
+            else:
+                a = mid
+        alpha = min(b + 1e-9, 1.0)
+    xa = (1 - alpha) * x + alpha * x0
+    Xa = (1 - alpha) * X + alpha * X0
+    return float(0.5 * np.sum(Q * Xa) + c @ xa)
+
+
+def validate_sdp_bound(inst, lp_cfg: LPConfig | None = None,
+                       max_rounds: int = 120, **kw):
+    """Sandwich the SDP value: (upper, lower, rel_width) where upper is the
+    eigencut-loop certificate and lower the independent feasible-point bound.
+    rel_width bounds the error the stall-based early stop can introduce into
+    the gap-closed denominator."""
+    if hasattr(inst, "Q0"):
+        raise ValueError(
+            "validate_sdp_bound is BoxQP-only: the constructed feasible "
+            "point ignores QCQP constraint rows, so it would not be a valid "
+            "lower bound there")
+    ub, _, _, (x, X) = sdp_relaxation_bound(
+        inst, lp_cfg, max_rounds=max_rounds, with_point=True, **kw)
+    lb = sdp_lower_bound(inst.Q, inst.c, x, X)
+    rel = (ub - lb) / (1.0 + abs(ub))
+    return ub, lb, rel
 
 
 def gap_closed(bound0: float, sdp: float, bounds) -> np.ndarray:

@@ -148,6 +148,10 @@ class CutSolver(CheckpointableSolver):
         self.key = jax.random.PRNGKey(cfg.seed)
         self.history: list[RoundStats] = []
         self._score_fn = score_fn or self._default_score_fn()
+        if cfg.debug:
+            from ..utils.debug import enable_debug_mode
+
+            enable_debug_mode()
 
     # -- scoring strategies -------------------------------------------------
     # Score functions take (x, X, key, consts) where ``consts`` is a pytree
@@ -269,6 +273,11 @@ class CutSolver(CheckpointableSolver):
         )
         self.state = self.state._replace(yC=yC)
         added = int(self.pool.count) - int(kept)
+
+        if cfg.debug:
+            from ..utils.debug import check_round_state
+
+            check_round_state(self.state.x, self.state.X, self.pool, bound)
 
         stats = RoundStats(
             round=len(self.history),

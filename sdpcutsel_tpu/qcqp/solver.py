@@ -74,6 +74,10 @@ class CutSolverQCQP(CheckpointableSolver):
         self.key = jax.random.PRNGKey(cfg.seed)
         self.history: list[RoundStats] = []
         self._score_fn = score_fn or self._default_score_fn()
+        if cfg.debug:
+            from ..utils.debug import enable_debug_mode
+
+            enable_debug_mode()
 
     def _default_score_fn(self) -> Callable:
         strat = self.cfg.scorer.strategy
@@ -177,6 +181,11 @@ class CutSolverQCQP(CheckpointableSolver):
         before = int(self.pool.count)
         self.pool = append_cuts(self.pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
         added = int(self.pool.count) - before
+
+        if cfg.debug:
+            from ..utils.debug import check_round_state
+
+            check_round_state(self.state.x, self.state.X, self.pool, bound)
 
         stats = RoundStats(
             round=len(self.history), bound=bound,

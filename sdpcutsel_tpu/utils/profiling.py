@@ -4,15 +4,29 @@
   (median-of-repeats, compile excluded by a warmup call).
 - ``ScoringThroughput``: the north-star counter — candidate cuts scored per
   second per chip (BASELINE.json metric).
-- For kernel-level traces use jax.profiler.trace(...) around a bench run and
-  open the Perfetto/XProf dump.
+- ``trace``: context manager emitting a Perfetto/XProf dump via
+  jax.profiler.trace — wired to the CLI's --trace flag and bench.py --trace.
 """
 
 from __future__ import annotations
 
+import contextlib
 import time
 
 import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str | None):
+    """Kernel-level trace of the enclosed block (no-op when logdir is None).
+
+    Writes a Perfetto/XProf dump under ``logdir`` (open with xprof or
+    ui.perfetto.dev).  Usage: ``with trace(args.trace): run_rounds()``."""
+    if not logdir:
+        yield
+        return
+    with jax.profiler.trace(logdir):
+        yield
 
 
 def timed(fn, *args, repeats: int = 5, warmup: int = 1, **kwargs):
