@@ -19,10 +19,14 @@ import numpy as np
 
 
 def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=40):
-    """Sustained scoring rate: the fused Pallas kernel (ops/fused_score.py)
-    run ``rounds_per_dispatch`` times inside one jit with a loop-carried
-    dependence (matching production, where rounds run back-to-back on device;
-    the dependence defeats loop hoisting so every pass really executes)."""
+    """Sustained ON-DEVICE scoring rate: the fused Pallas kernel
+    (ops/fused_score.py) run ``rounds_per_dispatch`` times inside one jit
+    with a loop-carried dependence (defeats loop hoisting, so every pass
+    really executes).  Batching passes per dispatch amortizes this dev
+    setup's ~28 ms tunnel dispatch overhead out of the measurement — a
+    tunnel artifact, not production cadence: the production loop
+    (loop/solver.py) dispatches scoring about once per round.  Single-
+    dispatch numbers are reported separately in BASELINE.md."""
     import jax
     import jax.numpy as jnp
 
@@ -71,9 +75,14 @@ def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=40):
     return R * T / sec
 
 
-def cpu_scoring_rate(n=125, k=3, sample=30_000):
+def cpu_scoring_rate(n=125, k=3, sample=30_000, repeats=5, warmup=1):
     """Reference-shaped numpy scoring (gather + batched LAPACK eigh + MLP
-    matmuls) on a candidate subsample, extrapolated per-candidate."""
+    matmuls) on a candidate subsample, extrapolated per-candidate.
+
+    Median of ``repeats`` timed passes after ``warmup`` untimed ones —
+    mirrors utils/profiling.timed, so the vs_baseline denominator does not
+    swing with transient load on this small host the way a single cold pass
+    does (ADVICE round 1)."""
     from sdpcutsel_tpu.cuts.enumerate import combinations_table
     from sdpcutsel_tpu.instances import generate_spar
 
@@ -88,26 +97,31 @@ def cpu_scoring_rate(n=125, k=3, sample=30_000):
     W2 = rng.standard_normal((64, 64)); b2 = rng.standard_normal(64)
     W3 = rng.standard_normal((64, 1))
 
-    t0 = time.perf_counter()
-    xr = x[table]
-    Xr = X[table[:, :, None], table[:, None, :]]
-    Z = np.empty((table.shape[0], k + 1, k + 1))
-    Z[:, 0, 0] = 1.0
-    Z[:, 0, 1:] = xr
-    Z[:, 1:, 0] = xr
-    Z[:, 1:, 1:] = Xr
-    np.linalg.eigvalsh(Z)  # feasibility scores
-    Qr = inst.Q[table[:, :, None], table[:, None, :]]
-    sc = np.abs(Qr).max((1, 2))
-    iu = np.triu_indices(k)
-    feats = np.concatenate(
-        [Qr[:, iu[0], iu[1]] / np.maximum(sc, 1e-12)[:, None],
-         xr, Xr[:, iu[0], iu[1]]], axis=1)
-    h = np.maximum(feats @ W1 + b1, 0)
-    h = np.maximum(h @ W2 + b2, 0)
-    h @ W3  # NN scores
-    dt = time.perf_counter() - t0
-    return table.shape[0] / dt
+    def one_pass():
+        t0 = time.perf_counter()
+        xr = x[table]
+        Xr = X[table[:, :, None], table[:, None, :]]
+        Z = np.empty((table.shape[0], k + 1, k + 1))
+        Z[:, 0, 0] = 1.0
+        Z[:, 0, 1:] = xr
+        Z[:, 1:, 0] = xr
+        Z[:, 1:, 1:] = Xr
+        np.linalg.eigvalsh(Z)  # feasibility scores
+        Qr = inst.Q[table[:, :, None], table[:, None, :]]
+        sc = np.abs(Qr).max((1, 2))
+        iu = np.triu_indices(k)
+        feats = np.concatenate(
+            [Qr[:, iu[0], iu[1]] / np.maximum(sc, 1e-12)[:, None],
+             xr, Xr[:, iu[0], iu[1]]], axis=1)
+        h = np.maximum(feats @ W1 + b1, 0)
+        h = np.maximum(h @ W2 + b2, 0)
+        h @ W3  # NN scores
+        return time.perf_counter() - t0
+
+    for _ in range(warmup):
+        one_pass()
+    times = sorted(one_pass() for _ in range(repeats))
+    return table.shape[0] / times[len(times) // 2]
 
 
 def main():
@@ -118,6 +132,8 @@ def main():
         "value": round(rate_tpu, 1),
         "unit": "candidates/s/chip (n=125, k=3, eigh+NN scoring)",
         "vs_baseline": round(rate_tpu / max(rate_cpu, 1e-9), 2),
+        # denominator recorded so the ratio is reproducible (ADVICE round 1)
+        "baseline_cpu_rate_per_sec": round(rate_cpu, 1),
     }))
 
 
