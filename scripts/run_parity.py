@@ -143,6 +143,25 @@ def main():
                                       jnp.asarray(X, jnp.float32), _key))
 
             replica_strategy = "custom"
+        elif args.strategy == "optimality":
+            # replica selects by the SAME exact small-SDP oracle scores via
+            # the custom hook (then emits eigencuts, like the TPU strategy)
+            import jax as _jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            from sdpcutsel_tpu.cuts.enumerate import combinations_table
+            from sdpcutsel_tpu.models.labels import exact_score_fn
+
+            table = jnp.asarray(combinations_table(inst.n, args.k))
+            fn = exact_score_fn(jnp.asarray(inst.Q, jnp.float32), table)
+            key = _jax.random.PRNGKey(0)
+
+            def score_fn(x, X, tbl, _fn=fn, _key=key):
+                return np.asarray(_fn(jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(X, jnp.float32), _key))
+
+            replica_strategy = "custom"
         t0 = time.perf_counter()
         hist, _ = cpu_cut_select(
             inst, k=args.k, sel_size=args.sel_size, rounds=args.rounds,

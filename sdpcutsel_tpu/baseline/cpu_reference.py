@@ -112,6 +112,7 @@ def cpu_cut_select(
         Z[:, 0, 1:] = xr
         Z[:, 1:, 0] = xr
         Z[:, 1:, 1:] = Xr
+        tri_viol = None
         if strategy == "feasibility":
             wmin = np.linalg.eigvalsh(Z)[:, 0]
             scores = -wmin
@@ -119,10 +120,59 @@ def cpu_cut_select(
             scores = rng.random(C)
         elif strategy == "custom":
             scores = score_fn(x, Xfull, table)
+        elif strategy == "triangle":
+            # per-(triple, type) RLT-3 violations, exactly cuts/triangle.py
+            assert k == 3, "triangle strategy requires k=3"
+            xi, xj, xl = xr[:, 0], xr[:, 1], xr[:, 2]
+            Xij, Xil, Xjl = Xr[:, 0, 1], Xr[:, 0, 2], Xr[:, 1, 2]
+            tri_viol = np.stack([
+                xi + xj + xl - Xij - Xil - Xjl - 1.0,
+                Xij + Xil - Xjl - xi,
+                Xij + Xjl - Xil - xj,
+                Xil + Xjl - Xij - xl,
+            ], axis=1)                                   # (C, 4)
+            scores = tri_viol.max(1)
         else:
             raise ValueError(strategy)
         score_time += time.perf_counter() - t0
         scored += C
+
+        if strategy == "triangle":
+            from ..cuts.triangle import (
+                TRIANGLE_LIN, TRIANGLE_QUAD, TRIANGLE_RHS,
+            )
+
+            flat = tri_viol.reshape(-1)
+            added = 0
+            for sidx in np.argsort(-flat)[:sel_size]:
+                if flat[sidx] <= viol_tol:
+                    continue
+                tri_i, typ = divmod(int(sidx), 4)
+                idx = table[tri_i]
+                lin = TRIANGLE_LIN[typ]
+                quad = TRIANGLE_QUAD[typ]
+                rcut = float(TRIANGLE_RHS[typ])
+                rr = len(rhs)
+                coef_x = {}
+                coef_t = {}
+                for a, ia in enumerate(idx):
+                    coef_x[ia] = coef_x.get(ia, 0.0) - lin[a]
+                    for b, ib in enumerate(idx):
+                        t_ = n + T[ia, ib]
+                        coef_t[t_] = coef_t.get(t_, 0.0) - quad[a, b]
+                for col, v_ in list(coef_x.items()) + list(coef_t.items()):
+                    rows.append(rr)
+                    cols.append(col)
+                    vals.append(v_)
+                rhs.append(-rcut)
+                added += 1
+            history.append(CPURoundStats(
+                round=r, bound=bound, cuts_added=added,
+                score_time_s=score_time, lp_time_s=lp_time,
+            ))
+            if added == 0 and r > 0:
+                break
+            continue
 
         sel = np.argsort(-scores)[:sel_size]
 

@@ -72,6 +72,10 @@ _LIN_N = _LIN / _NRM[:, None]
 _QUAD_N = _QUAD / _NRM[:, None, None]
 _RHS_N = _RHS / _NRM
 
+# public aliases (numpy) — the CPU replica shares the exact same rows so
+# triangle parity compares selection/LP behavior, not coefficient conventions
+TRIANGLE_LIN, TRIANGLE_QUAD, TRIANGLE_RHS = _LIN_N, _QUAD_N, _RHS_N
+
 
 def triangle_violations(x, X, table):
     """Violation of each of the 4 triangle inequalities at (x, X) for every

@@ -97,3 +97,48 @@ def test_triangle_strategy_end_to_end():
     assert bounds[-1] < bounds[0] - 1e-3
     # monotone certified bound sequence
     assert all(b2 <= b1 + 1e-9 for b1, b2 in zip(bounds, bounds[1:]))
+
+
+def test_triangle_replica_matches_tpu_rule():
+    """The CPU replica's new triangle branch and cuts/triangle.py implement
+    the same rows and the same violation scores.  Trajectories are compared
+    at a COMMON LP point: at an LP optimum the top violations are massively
+    tied (many triples violated by exactly 0.5), so a vertex solver (HiGHS)
+    and a first-order solver (PDHG) legitimately select different-but-equal
+    candidates and the bound sequences diverge — rule parity is what is
+    checkable deterministically."""
+    import numpy as np
+
+    from sdpcutsel_tpu.baseline import cpu_cut_select
+    from sdpcutsel_tpu.cuts.enumerate import combinations_table
+    from sdpcutsel_tpu.instances import generate_spar
+    from sdpcutsel_tpu.lp.oracle import solve_mccormick_highs, tri_to_full
+
+    inst = generate_spar(12, 100, 3)
+    _, x, Xtri = solve_mccormick_highs(inst.Q, inst.c)
+    X = tri_to_full(Xtri, inst.n)
+    table_np = combinations_table(inst.n, 3)
+    table = jnp.asarray(table_np)
+
+    viol = np.asarray(triangle_violations(
+        jnp.asarray(x, jnp.float32), jnp.asarray(X, jnp.float32), table))
+
+    # replica-side violations, same point
+    xr = x[table_np]
+    Xr = X[table_np[:, :, None], table_np[:, None, :]]
+    xi, xj, xl = xr[:, 0], xr[:, 1], xr[:, 2]
+    Xij, Xil, Xjl = Xr[:, 0, 1], Xr[:, 0, 2], Xr[:, 1, 2]
+    cv = np.stack([
+        xi + xj + xl - Xij - Xil - Xjl - 1.0,
+        Xij + Xil - Xjl - xi,
+        Xij + Xjl - Xil - xj,
+        Xil + Xjl - Xij - xl,
+    ], axis=1)
+    np.testing.assert_allclose(viol, cv, atol=1e-5)
+
+    # and the replica's triangle LOOP runs end-to-end with monotone bounds
+    hist, _ = cpu_cut_select(inst, k=3, sel_size=8, rounds=3,
+                             strategy="triangle")
+    bounds = np.asarray([h.bound for h in hist])
+    assert (np.diff(bounds) <= 1e-6 * (1 + np.abs(bounds[:-1]))).all()
+    assert hist[0].cuts_added > 0
