@@ -194,8 +194,11 @@ def main():
             "ts": time.time(),
         }
         if tpu_rec is not None:
+            import jax as _jaxb
+
             rec.update({
                 "tpu_rerun": True,
+                "tpu_backend": _jaxb.default_backend(),
                 "tpu_polish_iters": args.polish_iters,
                 "tpu_purge": not args.no_purge,
                 "tpu_gap_closed": tpu_rec["gap_closed"],

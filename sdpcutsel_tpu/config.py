@@ -39,6 +39,12 @@ class CutConfig:
     viol_tol: float = 1e-4           # -lambda_min threshold to emit a cut
     purge_slack_tol: float = 1e-5    # purge cuts with slack above this and ~0 dual
     purge: bool = True
+    diversity_alpha: float = 0.0     # >0: greedy support-diverse selection
+                                     # (ops/topk.py diverse_topk) — penalize
+                                     # candidates whose indices were already
+                                     # used this round by alpha per use;
+                                     # breaks the massive score ties at LP
+                                     # vertices toward low-overlap supports
 
 
 @dataclass(frozen=True)
@@ -73,6 +79,13 @@ class LoopConfig:
                                      # per-round LP iteration limits
     checkpoint_every: int = 0        # 0 = disabled; else rounds between snapshots
     checkpoint_dir: Optional[str] = None
+    steer_eps: float = 0.0           # >0: vertex steering — score/cut-generate
+                                     # at the optimum of a tiny-perturbed LP
+                                     # (tie-breaking toward a vertex of the
+                                     # optimal face, like a simplex backend;
+                                     # lp/pdhg.py steer_to_vertex). Relative
+                                     # perturbation magnitude.
+    steer_iters: int = 4000          # warm-started PDHG iters for steering
 
 
 @dataclass(frozen=True)

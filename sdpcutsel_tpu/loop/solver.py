@@ -36,7 +36,7 @@ from ..cuts.enumerate import combinations_table
 from ..cuts.generate import cuts_from_selected
 from ..instances.boxqp import BoxQPInstance
 from ..lp.pdhg import PDHGState, dual_bound_f64, init_state, solve_lp
-from ..ops.topk import masked_topk
+from ..ops.topk import diverse_topk, masked_topk
 from ..relax.cutbuffer import (
     CutPool, append_cuts, cut_residuals, empty_pool, purge_pool,
 )
@@ -53,10 +53,21 @@ class RoundStats:
     wall_time_s: float
 
 
-@functools.partial(jax.jit, static_argnames=("sel_size", "viol_tol"))
-def _select_and_generate(x, X, table, scores, sel_size: int, viol_tol: float):
-    """Top-sel_size candidates by score -> eigh(Z) -> violated cut rows."""
-    _, sel, valid = masked_topk(scores, sel_size)
+@functools.partial(
+    jax.jit, static_argnames=("sel_size", "viol_tol", "diversity_alpha")
+)
+def _select_and_generate(x, X, table, scores, sel_size: int, viol_tol: float,
+                         diversity_alpha: float = 0.0):
+    """Top-sel_size candidates by score -> eigh(Z) -> violated cut rows.
+
+    diversity_alpha > 0 switches to greedy support-diverse selection
+    (ops/topk.py diverse_topk) — same scores, tie-broken toward low-overlap
+    index subsets instead of lax.top_k's lexicographic clustering."""
+    if diversity_alpha > 0.0:
+        _, sel, valid = diverse_topk(scores, table, sel_size, x.shape[0],
+                                     diversity_alpha)
+    else:
+        _, sel, valid = masked_topk(scores, sel_size)
     idx_sel = table[sel]                       # (S, k)
     Z = assemble_Z(x, X, idx_sel)              # (S, k+1, k+1)
     w, V = batched_eigh_small(Z)
@@ -147,7 +158,14 @@ class CutSolver(CheckpointableSolver):
         self.state: PDHGState = init_state(n, cfg.cuts.capacity, 0, dtype)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.history: list[RoundStats] = []
-        self._score_fn = score_fn or self._default_score_fn()
+        if score_fn is not None:
+            # custom score hook: gets the base consts (padded table + mask);
+            # strategy-specific consts belong to the default strategies only
+            self._score_consts = {"table": self.table,
+                                  "valid": self.table_valid}
+            self._score_fn = score_fn
+        else:
+            self._score_fn = self._default_score_fn()
         if cfg.debug:
             from ..utils.debug import enable_debug_mode
 
@@ -244,7 +262,7 @@ class CutSolver(CheckpointableSolver):
             scores = self._score_fn(x, X, key, consts)
             idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
                 x, X, consts["table"], scores, cfg.cuts.sel_size,
-                cfg.cuts.viol_tol,
+                cfg.cuts.viol_tol, cfg.cuts.diversity_alpha,
             )
         if cfg.cuts.purge:
             slack = cut_residuals(x, X, pool)
@@ -265,10 +283,21 @@ class CutSolver(CheckpointableSolver):
             bound = min(bound, self.history[-1].bound)
 
         self.key, sub = jax.random.split(self.key)
+        score_x, score_X = self.state.x, self.state.X
+        if cfg.loop.steer_eps > 0.0:
+            # tie-breaking toward a vertex of the optimal face; scoring-only
+            # (the certified bound above is from the UNperturbed duals)
+            from ..lp.pdhg import steer_to_vertex
+
+            self.key, skey = jax.random.split(self.key)
+            score_x, score_X = steer_to_vertex(
+                self.Q, self.c, self.pool, self.state, cfg.lp, skey,
+                cfg.loop.steer_eps, cfg.loop.steer_iters,
+            )
         if not hasattr(self, "_post_lp_jit"):
             self._post_lp_jit = jax.jit(self._post_lp)
         self.pool, yC, kept = self._post_lp_jit(
-            self.state.x, self.state.X, self.pool, self.state.yC, sub,
+            score_x, score_X, self.pool, self.state.yC, sub,
             self._score_consts,
         )
         self.state = self.state._replace(yC=yC)

@@ -267,6 +267,62 @@ def pdhg_run_fixed(cx, cX, pool, dense, st, normK, omega, step_scale,
     return jax.lax.fori_loop(0, iters, inner, st)
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _steer_impl(cx, cX, pool, dense, st, normK, omega, step_scale, eps,
+                key, iters: int):
+    kx, kX = jax.random.split(key)
+    # Rademacher signs: every perturbation component has the SAME magnitude,
+    # so no coefficient is accidentally perturbed by ~0 and left tied.
+    sx = (2.0 * jax.random.bernoulli(kx, 0.5, cx.shape) - 1.0).astype(cx.dtype)
+    SX = (2.0 * jax.random.bernoulli(kX, 0.5, cX.shape) - 1.0).astype(cX.dtype)
+    scale = eps * (jnp.mean(jnp.abs(cX)) + jnp.mean(jnp.abs(cx)))
+    cx_p = cx + scale * sx
+    cX_p = cX + scale * _sym(SX)
+    n = cx.shape[0]
+    eta = step_scale / normK
+    tau, sigma = eta / omega, eta * omega
+
+    def inner(_, s):
+        return _one_iter(cx_p, cX_p, pool, dense, n, s, tau, sigma)
+
+    st = jax.lax.fori_loop(0, iters, inner, st)
+    return st.x, st.X
+
+
+def steer_to_vertex(Q, c, pool: CutPool, state: PDHGState, cfg: LPConfig,
+                    key, eps: float, iters: int,
+                    dense: DenseRows | None = None):
+    """Vertex steering: a scoring-only re-solve with a tiny deterministic
+    random objective perturbation, warm-started from the converged state.
+
+    Why: at a McCormick LP optimum the optimal face is typically
+    high-dimensional and candidate violations are massively tied (many
+    Z(rho) share -lambda_min = 0.5 exactly).  A simplex backend — the
+    reference's CPLEX dual simplex (SURVEY.md section 2.1 R5) or the CPU
+    replica's HiGHS — always lands on a VERTEX of that face, whereas PDHG
+    converges to an interior point of it, which scores and cuts differently
+    (observed as the feasibility-strategy parity dips in VERDICT.md).
+    Perturbing the objective by a tiny deterministic Rademacher vector makes
+    the optimum (generically) a unique vertex of the ORIGINAL optimal face
+    (standard LP perturbation argument), so a short warm-started PDHG run on
+    the perturbed objective drives the iterate toward vertex-like structure.
+
+    The steered point is used ONLY for scoring / cut generation; the
+    reported bound remains the UNperturbed f64 dual certificate
+    (dual_bound_f64), so bound validity is untouched.  Returns (x, X).
+    """
+    dtype = state.x.dtype
+    n = int(c.shape[0])
+    if dense is None:
+        dense = empty_dense(n, dtype)
+    cx = (-c).astype(dtype)
+    cX = (-0.5 * Q).astype(dtype)
+    normK = estimate_norm(pool, n, cfg.power_iters, dtype, dense)
+    return _steer_impl(cx, cX, pool, dense, state, normK,
+                       jnp.asarray(cfg.omega0, dtype), cfg.step_scale,
+                       jnp.asarray(eps, dtype), key, iters)
+
+
 def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState,
                    dense: DenseRows | None = None) -> float:
     """Certified max-form upper bound from the current duals, in float64 numpy.

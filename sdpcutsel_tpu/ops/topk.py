@@ -22,3 +22,46 @@ def masked_topk(scores, k: int, mask=None):
     vals, idx = jax.lax.top_k(scores, k)
     valid = jnp.isfinite(vals)
     return vals, idx, valid
+
+
+def diverse_topk(scores, table, k: int, n: int, alpha: float, mask=None):
+    """Greedy support-diverse top-k over candidate index subsets.
+
+    At a McCormick LP optimum, candidate violations are massively tied (often
+    60+ candidates share -lambda_min exactly, for sel_size=20 slots), and
+    lax.top_k's lowest-index tie-breaking then selects lexicographically
+    clustered subsets whose supports overlap heavily — near-redundant cuts
+    (measured: spar050-100-1 feasibility gap closed 0.086 plain vs 0.188
+    diverse at equal budget, replica 0.116).  This selects iteratively,
+    penalizing each candidate by alpha x (how often its indices were already
+    used by selected candidates):
+
+        pick argmax( score - alpha * sum_i in rho count[i] ),  k times.
+
+    alpha small (default config: 1e-4 x score scale) so the penalty only
+    re-orders (near-)ties; genuinely better-scoring candidates still win.
+    Same return convention as masked_topk: (values, indices, valid), where
+    values are the ORIGINAL scores of the picks (monotonicity of the bound
+    does not depend on selection order).  O(k * C) — one scan of k steps.
+    """
+    neg = jnp.asarray(-jnp.inf, scores.dtype)
+    if mask is not None:
+        scores = jnp.where(mask, scores, neg)
+    C = scores.shape[0]
+    iota = jnp.arange(C)
+
+    def body(carry, _):
+        sc, counts = carry
+        pen = counts[table].sum(1).astype(sc.dtype)
+        # -inf - finite = -inf, so masked/used entries stay unselectable
+        eff = sc - jnp.asarray(alpha, sc.dtype) * pen
+        i = jnp.argmax(eff)
+        val = sc[i]
+        picked_real = jnp.isfinite(val)
+        counts = jnp.where(picked_real, counts.at[table[i]].add(1), counts)
+        sc = jnp.where(iota == i, neg, sc)
+        return (sc, counts), (val, i)
+
+    (_, _), (vals, sel) = jax.lax.scan(
+        body, (scores, jnp.zeros((n,), jnp.int32)), None, length=k)
+    return vals, sel, jnp.isfinite(vals)

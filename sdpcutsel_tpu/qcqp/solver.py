@@ -168,7 +168,8 @@ class CutSolverQCQP(CheckpointableSolver):
         else:
             scores = self._score_fn(x, X, sub)
             idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
-                x, X, self.table, scores, cfg.cuts.sel_size, cfg.cuts.viol_tol
+                x, X, self.table, scores, cfg.cuts.sel_size,
+                cfg.cuts.viol_tol, cfg.cuts.diversity_alpha,
             )
 
         if cfg.cuts.purge:

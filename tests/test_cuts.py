@@ -118,3 +118,61 @@ def test_purge_keeps_binding():
     assert int(pool2.count) == 2  # cut 0 binding, cut 1 dual-backed, cut 2 gone
     kept_idx = np.asarray(pool2.idx)[np.asarray(pool2.active) > 0]
     assert {tuple(r) for r in kept_idx.tolist()} == {(0, 1), (2, 3)}
+
+
+def test_diverse_topk_matches_topk_on_untied_scores():
+    """With no ties and alpha far below score gaps, diverse_topk must pick
+    exactly the top-k set (diversity only re-orders ties)."""
+    import numpy as np
+
+    from sdpcutsel_tpu.cuts.enumerate import combinations_table
+    from sdpcutsel_tpu.ops.topk import diverse_topk, masked_topk
+
+    n, k = 12, 3
+    table = jnp.asarray(combinations_table(n, k))
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.permutation(table.shape[0]).astype(np.float32))
+    _, sel_ref, _ = masked_topk(scores, 8)
+    _, sel_div, valid = diverse_topk(scores, table, 8, n, alpha=1e-4)
+    assert bool(valid.all())
+    assert set(np.asarray(sel_div).tolist()) == set(np.asarray(sel_ref).tolist())
+
+
+def test_diverse_topk_spreads_tied_supports():
+    """On fully tied scores, diverse selection must cover more distinct
+    indices than lexicographic top_k (which clusters on low indices)."""
+    import numpy as np
+
+    from sdpcutsel_tpu.cuts.enumerate import combinations_table
+    from sdpcutsel_tpu.ops.topk import diverse_topk, masked_topk
+
+    n, k, S = 15, 3, 5
+    tbl_np = combinations_table(n, k)
+    table = jnp.asarray(tbl_np)
+    scores = jnp.ones((table.shape[0],), jnp.float32)
+    _, sel_ref, _ = masked_topk(scores, S)
+    _, sel_div, _ = diverse_topk(scores, table, S, n, alpha=1e-4)
+    cov_ref = len(set(tbl_np[np.asarray(sel_ref)].ravel().tolist()))
+    cov_div = len(set(tbl_np[np.asarray(sel_div)].ravel().tolist()))
+    # 5 disjoint triples exist in 15 vars; greedy diversity must find them
+    assert cov_div == S * k
+    assert cov_div > cov_ref
+    # no candidate selected twice
+    assert len(set(np.asarray(sel_div).tolist())) == S
+
+
+def test_diverse_topk_respects_mask():
+    import numpy as np
+
+    from sdpcutsel_tpu.cuts.enumerate import combinations_table
+    from sdpcutsel_tpu.ops.topk import diverse_topk
+
+    n, k = 10, 3
+    table = jnp.asarray(combinations_table(n, k))
+    C = table.shape[0]
+    scores = jnp.ones((C,), jnp.float32)
+    mask = jnp.arange(C) < 3          # only 3 valid candidates, ask for 6
+    vals, sel, valid = diverse_topk(scores, table, 6, n, alpha=1e-4,
+                                    mask=mask)
+    assert int(valid.sum()) == 3
+    assert set(np.asarray(sel)[np.asarray(valid)].tolist()) == {0, 1, 2}

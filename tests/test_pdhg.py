@@ -88,3 +88,50 @@ def test_highs_oracle_bound_above_true_optimum():
     assert ref >= inst.objective(np.clip(x, 0, 1)) - 1e-8
     X = tri_to_full(Xtri, 10)
     np.testing.assert_allclose(X, X.T)
+
+
+def test_vertex_steering_stays_optimal_and_sharpens():
+    """steer_to_vertex returns a point (a) still on/near the optimal face —
+    objective within O(eps) of the LP optimum and still (near-)feasible —
+    and (b) more vertex-like on a problem with a genuinely fat optimal face.
+
+    Construction: c has zero entries, Q = 0, so every x_i with c_i = 0 is
+    objective-free — the optimal face contains the whole [0,1] segment for
+    those coordinates.  PDHG (initialized at 0.5) has no gradient there and
+    stays interior; a simplex backend would land on a vertex.  Steering must
+    push those free coordinates to their bounds without moving the tied-down
+    ones or degrading the objective."""
+    import jax
+
+    from sdpcutsel_tpu.lp.pdhg import steer_to_vertex
+    from sdpcutsel_tpu.relax import mccormick_residuals
+
+    n = 6
+    Q = np.zeros((n, n))
+    c = np.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+    ref = 3.0  # LP optimum: x0..2 = 1, x3..5 anywhere in [0, 1]
+
+    pool = empty_pool(capacity=8, kmax=3)
+    st = init_state(n, capacity=8)
+    cfg = LPConfig(max_iters=20_000, tol=1e-6)
+    st, _ = solve_lp(Q, c, pool, st, cfg)
+    # PDHG leaves the objective-free coordinates strictly interior
+    x0 = np.asarray(st.x)
+    assert ((x0[3:] > 0.05) & (x0[3:] < 0.95)).all()
+
+    sx, sX = steer_to_vertex(
+        jnp.asarray(Q, jnp.float32), jnp.asarray(c, jnp.float32),
+        pool, st, cfg, jax.random.PRNGKey(0), eps=1e-3, iters=8000,
+    )
+
+    # (a) objective at steered point ~ LP optimum (still on optimal face)
+    obj = float(c @ np.asarray(sx, np.float64))
+    assert abs(obj - ref) <= 5e-3 * (1 + abs(ref))
+    rA, rB = mccormick_residuals(sx, sX)
+    assert float(jnp.minimum(rA, 0.0).min()) > -5e-3
+    assert float(jnp.minimum(rB, 0.0).min()) > -5e-3
+
+    # (b) the free coordinates moved to a bound; the tied-down ones stayed
+    xs = np.asarray(sx)
+    assert ((xs[3:] < 0.05) | (xs[3:] > 0.95)).all()
+    assert (xs[:3] > 0.95).all()
