@@ -41,6 +41,10 @@ def main():
                          "backend (TPU when available)")
     ap.add_argument("--polish-iters", type=int, default=60_000,
                     help="final-polish LP iteration budget for --tpu-rerun")
+    ap.add_argument("--diversity-alpha", type=float, default=0.0,
+                    help="support-diverse selection penalty for --tpu-rerun "
+                         "(ops/topk.py diverse_topk; fixes top_k tie "
+                         "clustering on tie-heavy strategies)")
     ap.add_argument("--no-purge", action="store_true",
                     help="disable slack-cut purging in the --tpu-rerun solve "
                          "(matches the replica, which never purges)")
@@ -84,12 +88,14 @@ def main():
                 try:
                     r = json.loads(line)
                     done.add((r["instance"], r["strategy"],
-                              bool(r.get("tpu_rerun", False))))
+                              bool(r.get("tpu_rerun", False)),
+                              float(r.get("tpu_diversity_alpha", 0.0))))
                 except (json.JSONDecodeError, KeyError):
                     continue
 
     for name in args.instances.split(","):
-        if (name, args.strategy, args.tpu_rerun) in done:
+        if (name, args.strategy, args.tpu_rerun,
+                args.diversity_alpha if args.tpu_rerun else 0.0) in done:
             print(f"[parity] {name}: already done", flush=True)
             continue
         if name not in reg:
@@ -110,7 +116,8 @@ def main():
 
             cfg = RunConfig(
                 cuts=CutConfig(k=args.k, sel_size=args.sel_size,
-                               purge=not args.no_purge),
+                               purge=not args.no_purge,
+                               diversity_alpha=args.diversity_alpha),
                 scorer=ScorerConfig(strategy=args.strategy),
                 loop=LoopConfig(rounds=args.rounds,
                                 polish_iters=args.polish_iters),
@@ -199,6 +206,7 @@ def main():
             rec.update({
                 "tpu_rerun": True,
                 "tpu_backend": _jaxb.default_backend(),
+                "tpu_diversity_alpha": args.diversity_alpha,
                 "tpu_polish_iters": args.polish_iters,
                 "tpu_purge": not args.no_purge,
                 "tpu_gap_closed": tpu_rec["gap_closed"],

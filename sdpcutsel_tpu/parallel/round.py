@@ -186,12 +186,23 @@ def _instance_round(Q, c, pool, st, key, best, table_shard, valid_shard,
     lv, li = jax.lax.top_k(scores, cuts.sel_size)
     rows = table_shard[li]
 
-    # 3. P5 consensus: all_gather local winners over 'cand', global top-k
+    # 3. P5 consensus: all_gather local winners over 'cand', global top-k.
+    # With diversity_alpha > 0 the global merge is the greedy support-diverse
+    # rule (ops/topk.diverse_topk) over the gathered winners — the same
+    # tie-clustering fix as the single-chip loop; the gathered set is
+    # identical on every shard, so the consensus selection still is too.
     gv = jax.lax.all_gather(lv, "cand", tiled=True)
     gr = jax.lax.all_gather(rows, "cand", tiled=True)
-    v, i = jax.lax.top_k(gv, cuts.sel_size)
-    idx_sel = gr[i]
-    sel_valid = jnp.isfinite(v)
+    if cuts.diversity_alpha > 0.0:
+        from ..ops.topk import diverse_topk
+
+        v, i, sel_valid = diverse_topk(gv, gr, cuts.sel_size, n,
+                                       cuts.diversity_alpha)
+        idx_sel = gr[i]
+    else:
+        v, i = jax.lax.top_k(gv, cuts.sel_size)
+        idx_sel = gr[i]
+        sel_valid = jnp.isfinite(v)
 
     # 4. eigh of selected Z(rho) -> violated cut rows
     w, V = batched_eigh_small(assemble_Z(st.x, st.X, idx_sel))

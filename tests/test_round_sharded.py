@@ -132,3 +132,48 @@ def test_certify_batched_f64_valid_vs_oracle():
         opt, _, _ = solve_mccormick_highs(np.asarray(Qb[i]), np.asarray(cb[i]))
         assert cert[i] >= opt - 1e-6
         assert cert[i] <= opt + 0.05 * (1 + abs(opt))  # and reasonably tight
+
+
+def test_sharded_diverse_selection_runs_and_layout_invariant():
+    """With cuts.diversity_alpha > 0 the consensus merge is the greedy
+    support-diverse rule.  On an unconverged LP point scores are untied and
+    the rule must coincide with plain top_k (diversity only re-orders ties —
+    the spread-on-ties property itself is unit-tested in
+    test_cuts.test_diverse_topk_spreads_tied_supports); and the selection
+    must stay identical across mesh layouts (the gathered winner set is
+    replicated, so the greedy pass is too)."""
+    from sdpcutsel_tpu.config import CutConfig, RunConfig
+
+    n, B = 12, 2
+    Qb, cb = _batch(n, B)
+
+    def run(alpha, data, cand):
+        mesh = make_mesh(data=data, cand=cand)
+        table, valid = shard_candidates(combinations_table(n, 3), mesh)
+        cfg = RunConfig(cuts=CutConfig(sel_size=6, capacity=64,
+                                       diversity_alpha=alpha))
+        state = init_batched_state(Qb, cb, capacity=64, kmax=3)
+        state = shard_batched_state(state, mesh)
+        step = make_sharded_round_step(mesh, cfg, lp_iters=400,
+                                       strategy="feasibility")
+        for _ in range(2):
+            state, _ = step(state, table, valid)
+        return state
+
+    s_div = run(1e-4, 2, 4)
+    # end-to-end: monotone certified bounds, cuts present
+    assert (np.asarray(s_div.best_bound)
+            <= np.asarray(s_div.bound) + 1e-5).all()
+    assert (np.asarray(s_div.pool.count) > 0).all()
+
+    # untied scores -> same pool as plain top_k
+    s_plain = run(0.0, 2, 4)
+    np.testing.assert_array_equal(np.asarray(s_div.pool.idx),
+                                  np.asarray(s_plain.pool.idx))
+
+    # layout invariance of the diverse merge
+    s_div2 = run(1e-4, 1, 8)
+    np.testing.assert_array_equal(np.asarray(s_div.pool.idx),
+                                  np.asarray(s_div2.pool.idx))
+    np.testing.assert_allclose(np.asarray(s_div.best_bound),
+                               np.asarray(s_div2.best_bound), rtol=2e-5)
