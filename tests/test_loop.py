@@ -80,3 +80,30 @@ def test_final_polish_tightens_bound():
 
     assert b_polished <= b_plain + 1e-9
     assert b_polished < b_plain - 1e-4   # starved LP leaves real slack
+
+
+def test_loop_with_vertex_steering_runs_and_stays_valid():
+    """End-to-end rounds with LoopConfig.steer_eps > 0: the steered point is
+    scoring-only, so bounds remain certified and monotone, and cuts are
+    still generated.  (Mechanism unit test: test_pdhg vertex steering.)"""
+    import dataclasses
+
+    from sdpcutsel_tpu.config import (
+        CutConfig, LPConfig, LoopConfig, RunConfig, ScorerConfig,
+    )
+    from sdpcutsel_tpu.instances import generate_spar
+    from sdpcutsel_tpu.loop import CutSolver
+
+    inst = generate_spar(12, 100, 3)
+    cfg = RunConfig(
+        lp=LPConfig(max_iters=6000, tol=1e-6),
+        cuts=CutConfig(k=3, sel_size=10, capacity=128),
+        scorer=ScorerConfig(strategy="feasibility"),
+        loop=LoopConfig(rounds=3, steer_eps=1e-3, steer_iters=1500),
+    )
+    sol = CutSolver(inst, cfg)
+    hist = sol.run(rounds=3)
+    bounds = [h.bound for h in hist]
+    assert all(b2 <= b1 + 1e-9 for b1, b2 in zip(bounds, bounds[1:]))
+    assert bounds[-1] < bounds[0] - 1e-3
+    assert sum(h.cuts_added for h in hist) > 0
