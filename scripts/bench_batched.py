@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--suite-densities", default="25,50,75,100")
     ap.add_argument("--suite-seeds", default="1,2,3")
     ap.add_argument("--out", default=None, help="JSONL path for suite mode")
+    ap.add_argument("--qcqp", action="store_true",
+                    help="QCQP batch (BASELINE config 5): clique-candidate "
+                         "table over 'cand', dense constraint rows, k=4")
+    ap.add_argument("--qcqp-m", type=int, default=2,
+                    help="quadratic constraints per QCQP instance")
+    ap.add_argument("--qcqp-density", type=int, default=30)
     args = ap.parse_args()
 
     if args.cpu:
@@ -121,16 +127,48 @@ def main():
                     f.write(json.dumps(r) + "\n")
         return
 
-    insts = [generate_spar(args.n, 100, s + 1) for s in range(args.batch)]
-    Qb = jnp.asarray(np.stack([i.Q for i in insts]), jnp.float32)
-    cb = jnp.asarray(np.stack([i.c for i in insts]), jnp.float32)
+    dense = None
+    if args.qcqp:
+        # BASELINE config 5: shared-sparsity QCQP family, clique candidates
+        # (k<=4) sharded over 'cand', constraint rows as a batched dense block
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    state = init_batched_state(Qb, cb, capacity=1024, kmax=3)
-    state = shard_batched_state(state, mesh)
-    table, valid = shard_candidates(combinations_table(args.n, 3), mesh)
-    step = make_sharded_round_step(mesh, lp_iters=args.lp_iters,
-                                   sel_size=args.sel_size,
-                                   strategy=args.strategy)
+        from sdpcutsel_tpu.instances.qcqp import generate_qcqp_family
+        from sdpcutsel_tpu.qcqp.chordal import (
+            chordal_decomposition, clique_candidates,
+        )
+        from sdpcutsel_tpu.relax.denserows import batched_dense_from_qcqp
+
+        fam = generate_qcqp_family(args.n, args.qcqp_density, args.qcqp_m,
+                                   1, args.batch)
+        cliques, _ = chordal_decomposition(args.n, fam[0].sparsity_graph())
+        table_np = clique_candidates(cliques, 4)
+        Qb = jnp.asarray(np.stack([i.Q0 for i in fam]), jnp.float32)
+        cb = jnp.asarray(np.stack([i.c0 for i in fam]), jnp.float32)
+        state = init_batched_state(Qb, cb, capacity=1024, kmax=4,
+                                   m_dense=args.qcqp_m)
+        state = shard_batched_state(state, mesh)
+        dense = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P("data"))),
+            batched_dense_from_qcqp(fam),
+        )
+        table, valid = shard_candidates(table_np, mesh)
+        step0 = make_sharded_round_step(mesh, lp_iters=args.lp_iters,
+                                        sel_size=args.sel_size,
+                                        strategy=args.strategy, kmax=4,
+                                        m_dense=args.qcqp_m)
+        step = lambda st, tb, vl: step0(st, tb, vl, dense)
+    else:
+        insts = [generate_spar(args.n, 100, s + 1) for s in range(args.batch)]
+        Qb = jnp.asarray(np.stack([i.Q for i in insts]), jnp.float32)
+        cb = jnp.asarray(np.stack([i.c for i in insts]), jnp.float32)
+
+        state = init_batched_state(Qb, cb, capacity=1024, kmax=3)
+        state = shard_batched_state(state, mesh)
+        table, valid = shard_candidates(combinations_table(args.n, 3), mesh)
+        step = make_sharded_round_step(mesh, lp_iters=args.lp_iters,
+                                       sel_size=args.sel_size,
+                                       strategy=args.strategy)
 
     # warmup / compile
     state, _ = step(state, table, valid)
@@ -144,8 +182,9 @@ def main():
 
     from sdpcutsel_tpu.parallel.round import certify_batched_f64
 
-    bounds = certify_batched_f64(state)
+    bounds = certify_batched_f64(state, dense=dense)
     print({
+        "problem": "qcqp-k4" if args.qcqp else "boxqp-k3",
         "batch": args.batch, "n": args.n, "mesh": f"{args.data}x{args.cand}",
         "rounds_per_sec": round(args.rounds / dt, 3),
         "instance_rounds_per_sec": round(args.batch * args.rounds / dt, 2),
