@@ -88,13 +88,14 @@ def main():
                 try:
                     r = json.loads(line)
                     done.add((r["instance"], r["strategy"],
+                              r.get("k", 3),
                               bool(r.get("tpu_rerun", False)),
                               float(r.get("tpu_diversity_alpha", 0.0))))
                 except (json.JSONDecodeError, KeyError):
                     continue
 
     for name in args.instances.split(","):
-        if (name, args.strategy, args.tpu_rerun,
+        if (name, args.strategy, args.k, args.tpu_rerun,
                 args.diversity_alpha if args.tpu_rerun else 0.0) in done:
             print(f"[parity] {name}: already done", flush=True)
             continue
@@ -188,6 +189,7 @@ def main():
         rec = {
             "instance": name,
             "strategy": args.strategy,
+            "k": args.k,
             "rounds": args.rounds,
             "sel_size": args.sel_size,
             "cpu_final_gap_closed": cpu_final,
