@@ -38,10 +38,17 @@ def pad_table(table: np.ndarray, parts: int):
     return padded, valid
 
 
-def shard_candidates(table: np.ndarray, mesh: Mesh):
-    """Place the (padded) table with rows sharded over the 'cand' axis."""
+def shard_candidates(table: np.ndarray, mesh: Mesh, block: int = None):
+    """Place the (padded) table with rows sharded over the 'cand' axis.
+
+    ``block``: additionally pad so every shard's slice is a multiple of this
+    row count — required by the fused Pallas scorer (ops/fused_score.py,
+    block=1024).  Default: pad to the kernel block on TPU (where the fused
+    path is the production scorer), to the shard count alone elsewhere."""
     parts = mesh.shape["cand"]
-    padded, valid = pad_table(np.asarray(table), parts)
+    if block is None:
+        block = 1024 if jax.default_backend() == "tpu" else 1
+    padded, valid = pad_table(np.asarray(table), parts * block)
     sharding = NamedSharding(mesh, P("cand", None))
     return (
         jax.device_put(jnp.asarray(padded), sharding),
