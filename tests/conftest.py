@@ -12,6 +12,9 @@ parallel-safe.  The 8 virtual devices exercise the sharded code paths
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Strip the axon TPU pool claim entirely (verified-safe way to run a python
+# process concurrently with the single TPU-holding process on this image).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
