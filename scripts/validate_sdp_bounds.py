@@ -65,6 +65,12 @@ def main():
         print(f"[validate] {name}: registry={rec['sdp']:.4f} "
               f"fresh_ub={ub:.4f} lb={lb:.4f} rel_width={rel:.2e} ok={ok}",
               flush=True)
+        # Read-merge-write: a concurrent suite run may have added new
+        # registry entries since we loaded; never clobber them.
+        with open(reg_path) as f:
+            merged = json.load(f)
+        merged[name] = {**merged.get(name, {}), **rec}
+        reg = merged
         with open(reg_path, "w") as f:
             json.dump(reg, f, indent=1, sort_keys=True)
     print("[validate] done", flush=True)
