@@ -76,6 +76,9 @@ def instance_gap_closed(name: str, cfg: RunConfig, data_dir: str,
         "final_gap_closed": float(gaps[-1]) if len(gaps) else 0.0,
         "cuts_total": hist[-1].cuts_active if hist else 0,
         "wall_time_s": time.perf_counter() - t0,
+        # gap_closed is platform-independent (same f32 jit program); the
+        # timing columns are only comparable within one platform, so tag it.
+        "platform": jax.default_backend(),
     }
     if logger:
         logger.log(rec)
