@@ -16,9 +16,11 @@ Usage:
 """
 
 import argparse
+import fcntl
 import json
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -61,18 +63,34 @@ def main():
         rec = reg[name]
         tol = 1e-3 * (1 + abs(ub))
         ok = lb - tol <= rec["sdp"] <= ub + tol
-        rec.update({"sdp_lower": lb, "sdp_rel_width": rel, "sdp_ok": bool(ok)})
+        fresh = {"sdp_lower": lb, "sdp_rel_width": rel, "sdp_ok": bool(ok)}
+        rec.update(fresh)
         print(f"[validate] {name}: registry={rec['sdp']:.4f} "
               f"fresh_ub={ub:.4f} lb={lb:.4f} rel_width={rel:.2e} ok={ok}",
               flush=True)
-        # Read-merge-write: a concurrent suite run may have added new
-        # registry entries since we loaded; never clobber them.
-        with open(reg_path) as f:
-            merged = json.load(f)
-        merged[name] = {**merged.get(name, {}), **rec}
-        reg = merged
-        with open(reg_path, "w") as f:
-            json.dump(reg, f, indent=1, sort_keys=True)
+        # Locked read-merge-write: take an exclusive flock on a sidecar lock
+        # file (never replaced, so the lock can't be split across inodes by
+        # os.replace), re-read the registry under the lock, merge ONLY the
+        # freshly computed keys into the on-disk entry (never the stale
+        # in-memory rec — a concurrent run may have updated other keys), and
+        # publish atomically via os.replace so a crash mid-write can never
+        # leave bounds.json truncated.
+        with open(reg_path + ".lock", "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            with open(reg_path) as f:
+                merged = json.load(f)
+            merged[name] = {**merged.get(name, rec), **fresh}
+            reg = merged
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(os.path.abspath(reg_path)), suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w") as tf:
+                    json.dump(reg, tf, indent=1, sort_keys=True)
+                os.replace(tmp, reg_path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
     print("[validate] done", flush=True)
 
 

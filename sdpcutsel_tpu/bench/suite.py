@@ -16,6 +16,7 @@ import json
 import os
 import time
 
+import jax
 import numpy as np
 
 from ..config import RunConfig
