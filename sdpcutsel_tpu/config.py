@@ -39,6 +39,11 @@ class CutConfig:
     viol_tol: float = 1e-4           # -lambda_min threshold to emit a cut
     purge_slack_tol: float = 1e-5    # purge cuts with slack above this and ~0 dual
     purge: bool = True
+    pair_layout: str = "auto"        # dense-k3 pair-structured scoring path
+                                     # (ops/pair_score.py): "auto" = on TPU
+                                     # for k=3, n<=128, fused-able strategies;
+                                     # "on" forces it (jnp path off-TPU);
+                                     # "off" keeps the generic table path
     diversity_alpha: float = 0.0     # >0: greedy support-diverse selection
                                      # (ops/topk.py diverse_topk) — penalize
                                      # candidates whose indices were already

@@ -154,6 +154,19 @@ class CutSolver(CheckpointableSolver):
         self._use_fused = (
             cfg.cuts.k in (2, 3) and jax.default_backend() == "tpu"
         )
+        # dense-k3 pair-structured fast path (ops/pair_score.py): candidates
+        # laid out as (pair sublanes, third-index lanes) — row slices instead
+        # of one-hot gathers.  Swaps in a differently-ORDERED candidate table
+        # (+ validity mask); score semantics are identical (test_pair_score).
+        pair_able = (
+            cfg.cuts.k == 3 and n <= 128
+            and cfg.scorer.strategy in ("neural", "feasibility", "combined")
+        )
+        mode = cfg.cuts.pair_layout
+        self._use_pair = pair_able and (
+            mode == "on"
+            or (mode == "auto" and jax.default_backend() == "tpu")
+        )
         self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
         self.state: PDHGState = init_state(n, cfg.cuts.capacity, 0, dtype)
         self.key = jax.random.PRNGKey(cfg.seed)
@@ -184,6 +197,43 @@ class CutSolver(CheckpointableSolver):
             return jnp.where(consts["valid"], s, neg)
 
         base_consts = {"table": self.table, "valid": self.table_valid}
+
+        if self._use_pair:
+            from ..models.scorer import load_params
+            from ..ops.fused_score import mlp_params_for_kernel
+            from ..ops.pair_score import (
+                build_pair_layout, pair_consts_static, pair_score_fused,
+                pair_score_jnp,
+            )
+
+            n = self.inst.n
+            pi, pj, table_pl, valid_pl = build_pair_layout(n)
+            # swap in the pair-ordered table: selection / cut generation /
+            # diversity all key on (table row <-> score slot) alignment only
+            self.table = jnp.asarray(table_pl)
+            self.table_valid = jnp.asarray(valid_pl)
+            params, _ = load_params(self.cfg.cuts.k,
+                                    tuple(self.cfg.scorer.hidden),
+                                    self.cfg.scorer.weights_path,
+                                    self.cfg.scorer.seed)
+            self._score_consts = {
+                "table": self.table, "valid": self.table_valid,
+                "pair": pair_consts_static(self.Q, pi, pj),
+                "W": [jnp.asarray(a) for a in mlp_params_for_kernel(params)],
+            }
+            kernel = (pair_score_fused if jax.default_backend() == "tpu"
+                      else pair_score_jnp)
+
+            def score(x, X, key, consts):
+                nn, feas = kernel(x, X, consts["pair"], *consts["W"],
+                                  sweeps=5)
+                if strat == "feasibility":
+                    return masked(feas, consts)
+                if strat == "combined":
+                    return masked(jnp.where(feas > 0.0, nn, neg), consts)
+                return masked(nn, consts)
+
+            return score
 
         if self._use_fused and strat in ("neural", "feasibility", "combined"):
             from ..models.features import candidate_q_features
