@@ -35,7 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LPConfig
-from ..relax.cutbuffer import CutPool, cut_residuals, cut_adjoint
+from ..relax.cutbuffer import (
+    CutPool, cut_adjoint, cut_residuals, support_embedding,
+)
 from ..relax.denserows import DenseRows, empty_dense
 from ..relax.mccormick import SA, SB, apply_K, apply_KT, project_primal
 
@@ -71,6 +73,7 @@ def estimate_norm(pool: CutPool, n: int, iters: int = 30, dtype=jnp.float32,
     """Power iteration for ||K|| on the symmetric-X primal subspace."""
     if dense is None:
         dense = empty_dense(n, dtype)
+    E3 = support_embedding(pool, n, dtype)  # loop-invariant (see cutbuffer)
     key = jax.random.PRNGKey(0)
     kx, kX = jax.random.split(key)
     x = jax.random.normal(kx, (n,), dtype=dtype)
@@ -78,14 +81,14 @@ def estimate_norm(pool: CutPool, n: int, iters: int = 30, dtype=jnp.float32,
 
     def body(_, carry):
         x, X = carry
-        kA, kB, kC, kD = apply_K(x, X, pool, dense)
-        gx, gX = apply_KT(kA, kB, kC * pool.active, pool, n, kD, dense)
+        kA, kB, kC, kD = apply_K(x, X, pool, dense, E3)
+        gx, gX = apply_KT(kA, kB, kC * pool.active, pool, n, kD, dense, E3)
         gX = _sym(gX)
         nrm = jnp.sqrt(jnp.sum(gx * gx) + jnp.sum(gX * gX)) + 1e-30
         return gx / nrm, gX / nrm
 
     x, X = jax.lax.fori_loop(0, iters, body, (x, X))
-    kA, kB, kC, kD = apply_K(x, X, pool, dense)
+    kA, kB, kC, kD = apply_K(x, X, pool, dense, E3)
     # v is (approximately) the unit top singular vector, so ||K v|| ~ ||K||.
     lam = jnp.sqrt(
         jnp.sum(kA * kA) + jnp.sum(kB * kB)
@@ -98,9 +101,9 @@ def _objective(cx, cX, x, X):
     return jnp.dot(cx, x) + jnp.sum(cX * X)
 
 
-def _dual_bound(cx, cX, pool, dense, yA, yB, yC, yD, n):
+def _dual_bound(cx, cX, pool, dense, yA, yB, yC, yD, n, E3=None):
     """Box-form Lagrangian lower bound on the min LP; valid for any y >= 0."""
-    gx, gX = apply_KT(yA, yB, yC, pool, n, yD, dense)
+    gx, gX = apply_KT(yA, yB, yC, pool, n, yD, dense, E3)
     hy = (-SB * jnp.sum(yB) + jnp.sum(pool.rhs * pool.active * yC)
           + jnp.sum(dense.h * yD))
     rx = cx - gx
@@ -112,8 +115,8 @@ def _dual_bound(cx, cX, pool, dense, yA, yB, yC, yD, n):
     )
 
 
-def _infeas(x, X, pool, dense):
-    kA, kB, kC, kD = apply_K(x, X, pool, dense)
+def _infeas(x, X, pool, dense, E3=None):
+    kA, kB, kC, kD = apply_K(x, X, pool, dense, E3)
     vA = jnp.maximum(-kA, 0.0)                       # hA = 0
     vB = jnp.maximum(-SB - kB, 0.0)
     vC = jnp.maximum(pool.rhs * pool.active - kC, 0.0) * pool.active
@@ -122,18 +125,18 @@ def _infeas(x, X, pool, dense):
                     + jnp.sum(vD**2))
 
 
-def _kkt_error(cx, cX, pool, dense, st: PDHGState, n):
+def _kkt_error(cx, cX, pool, dense, st: PDHGState, n, E3=None):
     p = _objective(cx, cX, st.x, st.X)
-    d = _dual_bound(cx, cX, pool, dense, st.yA, st.yB, st.yC, st.yD, n)
+    d = _dual_bound(cx, cX, pool, dense, st.yA, st.yB, st.yC, st.yD, n, E3)
     gap = jnp.maximum(p - d, 0.0)
-    return _infeas(st.x, st.X, pool, dense) + gap, p, d
+    return _infeas(st.x, st.X, pool, dense, E3) + gap, p, d
 
 
-def _one_iter(cx, cX, pool, dense, n, st: PDHGState, tau, sigma):
-    gx, gX = apply_KT(st.yA, st.yB, st.yC, pool, n, st.yD, dense)
+def _one_iter(cx, cX, pool, dense, n, st: PDHGState, tau, sigma, E3=None):
+    gx, gX = apply_KT(st.yA, st.yB, st.yC, pool, n, st.yD, dense, E3)
     xn, Xn = project_primal(st.x - tau * (cx - gx), st.X - tau * (cX - gX))
     xb, Xb = 2.0 * xn - st.x, 2.0 * Xn - st.X
-    kA, kB, kC, kD = apply_K(xb, Xb, pool, dense)
+    kA, kB, kC, kD = apply_K(xb, Xb, pool, dense, E3)
     yA = jnp.maximum(st.yA - sigma * kA, 0.0)
     yB = jnp.maximum(st.yB + sigma * (-SB - kB), 0.0)
     yC = jnp.maximum(st.yC + sigma * (pool.rhs * pool.active - kC), 0.0) * pool.active
@@ -171,6 +174,7 @@ def _solve_impl(cx, cX, pool, dense, st0, normK, omega0, tol, feas_tol,
                 step_scale, max_iters, check_every, restart_period):
     n = cx.shape[0]
     eta = step_scale / normK
+    E3 = support_embedding(pool, n, cx.dtype)  # loop-invariant; built once
 
     def checked_block(carry):
         st, acc, wlen, anchor, omega, it, _, _, _ = carry
@@ -179,15 +183,15 @@ def _solve_impl(cx, cX, pool, dense, st0, normK, omega0, tol, feas_tol,
 
         def inner(_, c):
             s, a = c
-            s2 = _one_iter(cx, cX, pool, dense, n, s, tau, sigma)
+            s2 = _one_iter(cx, cX, pool, dense, n, s, tau, sigma, E3)
             return s2, _axpy(a, s2)
 
         st, acc = jax.lax.fori_loop(0, check_every, inner, (st, acc))
         wlen = wlen + check_every
         avg = _scale(acc, 1.0 / wlen)
 
-        err_cur, p_cur, d_cur = _kkt_error(cx, cX, pool, dense, st, n)
-        err_avg, p_avg, d_avg = _kkt_error(cx, cX, pool, dense, avg, n)
+        err_cur, p_cur, d_cur = _kkt_error(cx, cX, pool, dense, st, n, E3)
+        err_avg, p_avg, d_avg = _kkt_error(cx, cX, pool, dense, avg, n, E3)
 
         use_avg = err_avg < err_cur
         cand = jax.tree.map(lambda u, v: jnp.where(use_avg, u, v), avg, st)
@@ -260,9 +264,10 @@ def pdhg_run_fixed(cx, cX, pool, dense, st, normK, omega, step_scale,
     n = cx.shape[0]
     eta = step_scale / normK
     tau, sigma = eta / omega, eta * omega
+    E3 = support_embedding(pool, n, cx.dtype)
 
     def inner(_, s):
-        return _one_iter(cx, cX, pool, dense, n, s, tau, sigma)
+        return _one_iter(cx, cX, pool, dense, n, s, tau, sigma, E3)
 
     return jax.lax.fori_loop(0, iters, inner, st)
 
@@ -281,9 +286,10 @@ def _steer_impl(cx, cX, pool, dense, st, normK, omega, step_scale, eps,
     n = cx.shape[0]
     eta = step_scale / normK
     tau, sigma = eta / omega, eta * omega
+    E3 = support_embedding(pool, n, cx.dtype)
 
     def inner(_, s):
-        return _one_iter(cx_p, cX_p, pool, dense, n, s, tau, sigma)
+        return _one_iter(cx_p, cX_p, pool, dense, n, s, tau, sigma, E3)
 
     st = jax.lax.fori_loop(0, iters, inner, st)
     return st.x, st.X

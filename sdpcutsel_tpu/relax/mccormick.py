@@ -32,7 +32,9 @@ import math
 
 import jax.numpy as jnp
 
-from .cutbuffer import CutPool, cut_residuals, cut_adjoint
+from .cutbuffer import (
+    CutPool, cut_adjoint, cut_adjoint_emb, cut_residuals, cut_residuals_emb,
+)
 from .denserows import DenseRows, dense_residuals, dense_adjoint
 
 SA = 1.0 / math.sqrt(2.0)  # row scaling for rA
@@ -51,16 +53,23 @@ def mccormick_residuals(x, X):
     return rA, rB
 
 
-def apply_K(x, X, pool: CutPool, dense: DenseRows | None = None):
+def apply_K(x, X, pool: CutPool, dense: DenseRows | None = None, E3=None):
     """Linear part of the scaled constraint map K z (no constant offsets).
 
     Constraint system is  K z >= h  with
       hA = 0,  hB = -SB,  hC = pool.rhs (cut rows unit-normalized),
       hD = dense.h (QCQP rows, relax/denserows.py).
+
+    E3 (cutbuffer.support_embedding): when given, the cut block runs as
+    dense matmuls instead of gathers — pass it from iteration loops; one-shot
+    callers may omit it.
     """
     kA = SA * (x[:, None] - X)
     kB = SB * (X - x[:, None] - x[None, :])
-    kC = cut_residuals(x, X, pool, include_rhs=False)
+    if E3 is None:
+        kC = cut_residuals(x, X, pool, include_rhs=False)
+    else:
+        kC = cut_residuals_emb(x, X, pool, E3, include_rhs=False)
     if dense is None:
         return kA, kB, kC
     kD = dense_residuals(x, X, dense, include_rhs=False)
@@ -68,11 +77,14 @@ def apply_K(x, X, pool: CutPool, dense: DenseRows | None = None):
 
 
 def apply_KT(yA, yB, yC, pool: CutPool, n: int, yD=None,
-             dense: DenseRows | None = None):
-    """Adjoint K^T y -> (gx: (n,), gX: (n,n))."""
+             dense: DenseRows | None = None, E3=None):
+    """Adjoint K^T y -> (gx: (n,), gX: (n,n)).  E3 as in apply_K."""
     gx = SA * jnp.sum(yA, axis=1) - SB * (jnp.sum(yB, axis=1) + jnp.sum(yB, axis=0))
     gX = -SA * yA + SB * yB
-    cx, cX = cut_adjoint(yC, pool, n)
+    if E3 is None:
+        cx, cX = cut_adjoint(yC, pool, n)
+    else:
+        cx, cX = cut_adjoint_emb(yC, pool, E3)
     gx, gX = gx + cx, gX + cX
     if dense is not None and yD is not None:
         dx, dX = dense_adjoint(yD, dense)

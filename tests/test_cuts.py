@@ -176,3 +176,44 @@ def test_diverse_topk_respects_mask():
                                     mask=mask)
     assert int(valid.sum()) == 3
     assert set(np.asarray(sel)[np.asarray(valid)].tolist()) == {0, 1, 2}
+
+
+def test_support_embedding_matches_gather_scatter():
+    """cut_residuals_emb / cut_adjoint_emb (dense-matmul form for the PDHG
+    inner loop) agree with the gather/scatter forms on a random pool."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdpcutsel_tpu.relax.cutbuffer import (
+        cut_adjoint, cut_adjoint_emb, cut_residuals, cut_residuals_emb,
+        empty_pool, support_embedding, CutPool,
+    )
+
+    rng = np.random.default_rng(0)
+    n, M, k = 17, 64, 3
+    idx = rng.integers(0, n, size=(M, k)).astype(np.int32)
+    lin = rng.standard_normal((M, k)).astype(np.float32)
+    quad = rng.standard_normal((M, k, k)).astype(np.float32)
+    quad = 0.5 * (quad + np.transpose(quad, (0, 2, 1)))
+    active = (rng.random(M) < 0.7).astype(np.float32)
+    pool = CutPool(
+        idx=jnp.asarray(idx), lin=jnp.asarray(lin), quad=jnp.asarray(quad),
+        rhs=jnp.asarray(rng.standard_normal(M).astype(np.float32)),
+        active=jnp.asarray(active), count=jnp.int32(int(active.sum())),
+    )
+    x = jnp.asarray(rng.random(n).astype(np.float32))
+    X = rng.random((n, n)).astype(np.float32)
+    X = jnp.asarray(0.5 * (X + X.T))
+    yC = jnp.asarray(rng.random(M).astype(np.float32))
+
+    E3 = support_embedding(pool, n)
+    r_ref = np.asarray(cut_residuals(x, X, pool))
+    r_emb = np.asarray(cut_residuals_emb(x, X, pool, E3))
+    np.testing.assert_allclose(r_emb, r_ref, rtol=2e-5, atol=2e-5)
+
+    gx_ref, gX_ref = cut_adjoint(yC, pool, n)
+    gx_emb, gX_emb = cut_adjoint_emb(yC, pool, E3)
+    np.testing.assert_allclose(np.asarray(gx_emb), np.asarray(gx_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gX_emb), np.asarray(gX_ref),
+                               rtol=2e-5, atol=2e-5)
