@@ -77,6 +77,11 @@ class LoopConfig:
     """Cutting-plane round controller."""
 
     rounds: int = 20
+    use_scan: bool = False           # run ALL rounds in ONE jit dispatch
+                                     # (lax.scan over rounds; loop/solver.py
+                                     # run_scan) — removes the per-round
+                                     # dispatch floor; no early stop or
+                                     # per-round checkpointing in this mode
     improvement_tol: float = 1e-5    # stop when relative bound improvement below
     polish_iters: int = 0            # >0: final tighter LP re-solve (no new
                                      # cuts) with this iteration budget, to

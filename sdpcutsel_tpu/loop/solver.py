@@ -370,7 +370,97 @@ class CutSolver(CheckpointableSolver):
         self.history.append(stats)
         return stats
 
+    # -- all rounds in one dispatch ------------------------------------------
+    def _scan_impl(self, Q, c, pool, st, key, consts, rounds: int):
+        """lax.scan over rounds: (solve -> steer -> score/select/cutgen ->
+        purge/append) x R entirely on device.  Per-round outputs stack the
+        PRE-mutation pool and the solve's duals so the host can recertify
+        every round's bound in f64 afterwards (lp/pdhg.dual_bound_f64) —
+        identical certificates to the per-round path, one dispatch total."""
+        from ..lp.pdhg import _solve_impl, _steer_impl, estimate_norm
+        from ..relax.denserows import empty_dense
+
+        lp = self.cfg.lp
+        lc = self.cfg.loop
+        n = c.shape[0]
+        cx, cX = -c, -0.5 * Q
+
+        def body(carry, _):
+            pool, st, key = carry
+            normK = estimate_norm(pool, n, lp.power_iters, cx.dtype)
+            st, info = _solve_impl(
+                cx, cX, pool, empty_dense(n, cx.dtype), st, normK, lp.omega0,
+                lp.tol, lp.feas_tol, lp.step_scale, lp.max_iters,
+                lp.check_every, lp.restart_period,
+            )
+            key, sub = jax.random.split(key)
+            sx, sX = st.x, st.X
+            if lc.steer_eps > 0.0:
+                key, skey = jax.random.split(key)
+                sx, sX = _steer_impl(
+                    cx, cX, pool, empty_dense(n, cx.dtype), st, normK,
+                    jnp.asarray(lp.omega0, cx.dtype), lp.step_scale,
+                    jnp.asarray(lc.steer_eps, cx.dtype), skey, lc.steer_iters,
+                )
+            new_pool, yC, kept = self._post_lp(sx, sX, pool, st.yC, sub,
+                                               consts)
+            out = (pool, (st.yA, st.yB, st.yC),
+                   info["iters"], info["kkt_error"], kept, new_pool.count)
+            return (new_pool, st._replace(yC=yC), key), out
+
+        (pool, st, key), outs = jax.lax.scan(
+            body, (pool, st, key), None, length=rounds)
+        return (pool, st, key), outs
+
+    def run_scan(self, rounds: Optional[int] = None) -> list[RoundStats]:
+        """Run ALL rounds in one jit dispatch (LoopConfig.use_scan).
+
+        Same machinery per round as do_round (certified f64 bounds included,
+        recomputed on host from the stacked duals); trades away per-round
+        early stopping and checkpointing for zero per-round dispatch/transfer
+        overhead — the right mode for benchmarked suite runs through a
+        high-latency link."""
+        rounds = rounds if rounds is not None else self.cfg.loop.rounds
+        t0 = time.perf_counter()
+        if not hasattr(self, "_scan_jit"):
+            self._scan_jit = jax.jit(self._scan_impl,
+                                     static_argnames=("rounds",))
+        (self.pool, self.state, self.key), outs = jax.block_until_ready(
+            self._scan_jit(self.Q, self.c, self.pool, self.state, self.key,
+                           self._score_consts, rounds=rounds))
+        total = time.perf_counter() - t0
+
+        pools, duals, iters, kkt, kept, count = outs
+        pools_np = jax.tree.map(np.asarray, pools)
+        yA, yB, yC = (np.asarray(a) for a in duals)
+        iters, kkt = np.asarray(iters), np.asarray(kkt)
+        kept, count = np.asarray(kept), np.asarray(count)
+        prev_bound = self.history[-1].bound if self.history else np.inf
+        base = len(self.history)
+        for r in range(rounds):
+            pool_r = CutPool(*(leaf[r] for leaf in pools_np))
+            st_r = PDHGState(
+                x=np.zeros(self.inst.n, np.float64),
+                X=np.zeros((self.inst.n, self.inst.n), np.float64),
+                yA=yA[r], yB=yB[r], yC=yC[r], yD=np.zeros((0,), np.float64),
+            )
+            b = dual_bound_f64(self.inst.Q, self.inst.c, pool_r, st_r)
+            b = min(b, prev_bound)
+            prev_bound = b
+            self.history.append(RoundStats(
+                round=base + r, bound=b, lp_iters=int(iters[r]),
+                lp_kkt_error=float(kkt[r]),
+                cuts_added=int(count[r]) - int(kept[r]),
+                cuts_active=int(count[r]),
+                wall_time_s=total / rounds,
+            ))
+        if self.cfg.loop.polish_iters > 0 and self.history:
+            self.polish()
+        return self.history
+
     def run(self, rounds: Optional[int] = None) -> list[RoundStats]:
+        if self.cfg.loop.use_scan:
+            return self.run_scan(rounds)
         rounds = rounds if rounds is not None else self.cfg.loop.rounds
         prev = None
         for _ in range(rounds):
