@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--polish-iters", type=int, default=60000)
     ap.add_argument("--data-dir", default="data/boxqp")
     ap.add_argument("--out", default="results/suite.jsonl")
+    ap.add_argument("--use-scan", action="store_true",
+                    help="all rounds in one jit dispatch (LoopConfig.use_scan)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -43,7 +45,8 @@ def main():
         lp=LPConfig(max_iters=args.lp_max_iters),
         cuts=CutConfig(k=args.k, sel_size=args.sel_size),
         scorer=ScorerConfig(strategy=args.strategy),
-        loop=LoopConfig(rounds=args.rounds, polish_iters=args.polish_iters),
+        loop=LoopConfig(rounds=args.rounds, polish_iters=args.polish_iters,
+                        use_scan=args.use_scan),
     )
     rec = instance_gap_closed(args.instance, cfg, args.data_dir,
                               rounds=args.rounds,

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--polish-iters", type=int, default=60000,
                     help="final tighter LP re-solve budget (0 = off)")
     ap.add_argument("--sdp-max-rounds", type=int, default=60)
+    ap.add_argument("--use-scan", action="store_true",
+                    help="run all rounds in one jit dispatch "
+                         "(LoopConfig.use_scan; no per-round early stop)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--max-cells", type=int, default=0,
                     help="stop after N new cells (0 = unlimited); lets runs "
@@ -90,7 +93,8 @@ def main():
                 lp=LPConfig(max_iters=args.lp_max_iters, tol=2e-6),
                 cuts=CutConfig(k=args.k, sel_size=args.sel_size, capacity=2048),
                 scorer=ScorerConfig(strategy=strat),
-                loop=LoopConfig(polish_iters=args.polish_iters),
+                loop=LoopConfig(polish_iters=args.polish_iters,
+                                use_scan=args.use_scan),
             )
             rec = instance_gap_closed(
                 name, cfg, args.data_dir, rounds=args.rounds, logger=logger,
