@@ -99,10 +99,18 @@ def support_embedding(pool: CutPool, n: int, dtype=None):
 
 def cut_residuals_emb(x, X, pool: CutPool, E3, include_rhs: bool = True):
     """cut_residuals via the support embedding (matmuls, no gathers).
-    E3 carries the active mask, so inactive rows are zero by construction."""
-    xg = jnp.einsum("tan,n->ta", E3, x)
-    tmp = jnp.einsum("tan,nm->tam", E3, X)
-    Xg = jnp.einsum("tam,tbm->tab", tmp, E3)
+    E3 carries the active mask, so inactive rows are zero by construction.
+
+    Shapes matter: a naive einsum('tan,nm->tam') lowers to M batched (k, n)
+    matmuls — thousands of 3-row MXU calls (measured 177 us/iteration at
+    M=2048, n=125).  Flattening to ONE (M*k, n) @ (n, n) contraction and
+    doing the tiny k x k reductions elementwise keeps the MXU busy."""
+    M, k, n = E3.shape
+    Ef = E3.reshape(M * k, n)
+    xg = (Ef @ x).reshape(M, k)
+    tmp = (Ef @ X).reshape(M, k, n)                       # (E X)[t, a, :]
+    # Xg[t,a,b] = sum_m tmp[t,a,m] E3[t,b,m] — k*k is tiny; elementwise+reduce
+    Xg = jnp.sum(tmp[:, :, None, :] * E3[:, None, :, :], axis=-1)
     r = jnp.sum(pool.lin * xg, axis=1) + jnp.sum(pool.quad * Xg, axis=(1, 2))
     if include_rhs:
         r = r - pool.rhs * pool.active
@@ -110,11 +118,17 @@ def cut_residuals_emb(x, X, pool: CutPool, E3, include_rhs: bool = True):
 
 
 def cut_adjoint_emb(yC, pool: CutPool, E3):
-    """cut_adjoint via the support embedding (matmuls, no scatter-adds)."""
+    """cut_adjoint via the support embedding (matmuls, no scatter-adds).
+    Same shape discipline as cut_residuals_emb: one (n, M*k) @ (M*k, n)
+    contraction for gX; the k x k coefficient mix is elementwise."""
+    M, k, n = E3.shape
     w = yC * pool.active
-    gx = jnp.einsum("ta,tan->n", w[:, None] * pool.lin, E3)
-    wq = jnp.einsum("tab,tbm->tam", w[:, None, None] * pool.quad, E3)
-    gX = jnp.einsum("tan,tam->nm", E3, wq)
+    Ef = E3.reshape(M * k, n)
+    gx = (w[:, None] * pool.lin).reshape(M * k) @ Ef
+    # wq[t,a,:] = sum_b (w quad)[t,a,b] E3[t,b,:]
+    wq = jnp.sum((w[:, None, None] * pool.quad)[:, :, :, None]
+                 * E3[:, None, :, :], axis=2)
+    gX = Ef.T @ wq.reshape(M * k, n)
     return gx, gX
 
 
