@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--n", type=int, default=125)
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--lp-max-iters", type=int, default=20000)
-    ap.add_argument("--capacity", type=int, default=2048)
+    ap.add_argument("--capacity", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -107,10 +107,17 @@ def main():
 
     # -- per-round vs scan mode, fresh solvers -------------------------------
     for mode, use_scan in (("per_round", False), ("scan", True)):
+        from sdpcutsel_tpu.lp.pdhg import init_state
+        from sdpcutsel_tpu.relax.cutbuffer import empty_pool
+
         c2 = dataclasses.replace(cfg, loop=LoopConfig(use_scan=use_scan))
         sv = CutSolver(inst, c2)
-        sv.run(rounds=2)  # compile warmup (cache hit on 2nd run shapes)
-        sv = CutSolver(inst, c2)
+        sv.run(rounds=args.rounds)  # compile warmup at the MEASURED length
+        # reset solver state IN PLACE so the timed run reuses the jit caches
+        sv.pool = empty_pool(c2.cuts.capacity, c2.cuts.k, jnp.float32)
+        sv.state = init_state(inst.n, c2.cuts.capacity, 0, jnp.float32)
+        sv.key = jax.random.PRNGKey(c2.seed)
+        sv.history = []
         t0 = time.perf_counter()
         hist = sv.run(rounds=args.rounds)
         dt = time.perf_counter() - t0

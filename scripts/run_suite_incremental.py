@@ -91,7 +91,7 @@ def main():
                 return
             cfg = RunConfig(
                 lp=LPConfig(max_iters=args.lp_max_iters, tol=2e-6),
-                cuts=CutConfig(k=args.k, sel_size=args.sel_size, capacity=2048),
+                cuts=CutConfig(k=args.k, sel_size=args.sel_size, capacity=1024),
                 scorer=ScorerConfig(strategy=strat),
                 loop=LoopConfig(polish_iters=args.polish_iters,
                                 use_scan=args.use_scan),

@@ -26,6 +26,11 @@ class LPConfig:
     omega0: float = 1.0              # initial primal weight
     step_scale: float = 0.95         # eta = step_scale / ||K||
     power_iters: int = 30            # power-method iterations for ||K||
+    use_kernel: str = "auto"         # VMEM-resident PDHG iteration kernel
+                                     # (lp/pdhg_kernel.py): "auto" = on TPU
+                                     # for n<=128 BoxQP (no dense rows);
+                                     # "on" forces (interpret off-TPU is
+                                     # slow — tests only); "off" = jnp loop
     dtype: str = "float32"
 
 
@@ -35,7 +40,11 @@ class CutConfig:
 
     k: int = 3                       # submatrix dimension (2/3 dense; up to 5 QCQP)
     sel_size: int = 20               # cuts (candidates) selected per round
-    capacity: int = 4096             # fixed cut-pool capacity (masked buffer)
+    capacity: int = 1024             # fixed cut-pool capacity (masked buffer);
+                                     # <= 1024 keeps the PDHG iteration kernel
+                                     # eligible (lp/pdhg_kernel.py VMEM budget)
+                                     # and purge keeps typical runs well under
+                                     # (rounds x sel_size <= ~400)
     viol_tol: float = 1e-4           # -lambda_min threshold to emit a cut
     purge_slack_tol: float = 1e-5    # purge cuts with slack above this and ~0 dual
     purge: bool = True

@@ -168,25 +168,65 @@ def _dist2(a: PDHGState, b: PDHGState, primal: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "check_every", "restart_period")
+    jax.jit, static_argnames=("max_iters", "check_every", "restart_period",
+                              "use_kernel", "kernel_interpret")
 )
 def _solve_impl(cx, cX, pool, dense, st0, normK, omega0, tol, feas_tol,
-                step_scale, max_iters, check_every, restart_period):
+                step_scale, max_iters, check_every, restart_period,
+                use_kernel: bool = False, kernel_interpret: bool = False):
     n = cx.shape[0]
     eta = step_scale / normK
     E3 = support_embedding(pool, n, cx.dtype)  # loop-invariant; built once
+
+    if use_kernel:
+        # VMEM-resident iteration-block kernel (lp/pdhg_kernel.py): padded
+        # constants built once here; state pads/unpads once per checked
+        # block (8 reshapes per check_every iterations — negligible).
+        from .pdhg_kernel import (
+            _NPAD, embedding_k, pack_cutmeta, pad_mask, pdhg_block,
+        )
+
+        P = _NPAD
+        Ekk = embedding_k(pool, P)
+        meta = pack_cutmeta(pool)
+        mask2 = pad_mask(n, cx.dtype)
+        cxp = jnp.pad(cx[None, :], ((0, 0), (0, P - n)))
+        cXp = jnp.pad(cX, ((0, P - n), (0, P - n)))
+
+        def _pad1(v):
+            return jnp.pad(v[None, :], ((0, 0), (0, P - n)))
+
+        def _pad2(A):
+            return jnp.pad(A, ((0, P - n), (0, P - n)))
+
+        def run_block(st, acc, tau, sigma):
+            yc2 = jnp.stack([st.yC, acc.yC], axis=1)
+            xo, Xo, yAo, yBo, yc2o, ax, aX, aA, aB = pdhg_block(
+                cxp, cXp, Ekk, meta, mask2,
+                _pad1(st.x), _pad2(st.X), _pad2(st.yA), _pad2(st.yB), yc2,
+                _pad1(acc.x), _pad2(acc.X), _pad2(acc.yA), _pad2(acc.yB),
+                tau, sigma, iters=check_every, interpret=kernel_interpret,
+            )
+            st = PDHGState(xo[0, :n], Xo[:n, :n], yAo[:n, :n], yBo[:n, :n],
+                           yc2o[:, 0], st.yD)
+            acc = PDHGState(ax[0, :n], aX[:n, :n], aA[:n, :n], aB[:n, :n],
+                            yc2o[:, 1], acc.yD)
+            return st, acc
+    else:
+        def run_block(st, acc, tau, sigma):
+            def inner(_, c):
+                s, a = c
+                s2 = _one_iter(cx, cX, pool, dense, n, s, tau, sigma, E3)
+                return s2, _axpy(a, s2)
+
+            return jax.lax.fori_loop(0, check_every, inner, (st, acc))
 
     def checked_block(carry):
         st, acc, wlen, anchor, omega, it, _, _, _ = carry
         tau = eta / omega
         sigma = eta * omega
 
-        def inner(_, c):
-            s, a = c
-            s2 = _one_iter(cx, cX, pool, dense, n, s, tau, sigma, E3)
-            return s2, _axpy(a, s2)
-
-        st, acc = jax.lax.fori_loop(0, check_every, inner, (st, acc))
+        st, acc = run_block(st, acc, tau, sigma)
         wlen = wlen + check_every
         avg = _scale(acc, 1.0 / wlen)
 
@@ -248,10 +288,24 @@ def solve_lp(Q, c, pool: CutPool, state: PDHGState, cfg: LPConfig,
         dense = empty_dense(n, dtype)
     cx = (-c).astype(dtype)
     cX = (-0.5 * Q).astype(dtype)
+    use_kernel = cfg.use_kernel == "on" or (
+        cfg.use_kernel == "auto"
+        and jax.default_backend() == "tpu"
+        and n <= 128
+        # VMEM budget: the kernel's working set (embedding + cut metadata +
+        # state + accumulators + loop temporaries) exceeds the 16M scoped
+        # VMEM limit at capacity 2048; 1024 fits with headroom.  Larger
+        # pools fall back to the jnp loop automatically.
+        and pool.idx.shape[0] <= 1024
+        and int(dense.h.shape[0]) == 0
+        and dtype == jnp.float32
+    )
     normK = estimate_norm(pool, n, cfg.power_iters, dtype, dense)
     st, info = _solve_impl(
         cx, cX, pool, dense, state, normK, cfg.omega0, cfg.tol, cfg.feas_tol,
         cfg.step_scale, cfg.max_iters, cfg.check_every, cfg.restart_period,
+        use_kernel=use_kernel,
+        kernel_interpret=use_kernel and jax.default_backend() != "tpu",
     )
     return st, info
 
