@@ -19,36 +19,38 @@ import numpy as np
 
 
 def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=40):
-    """Sustained ON-DEVICE scoring rate: the fused Pallas kernel
-    (ops/fused_score.py) run ``rounds_per_dispatch`` times inside one jit
-    with a loop-carried dependence (defeats loop hoisting, so every pass
-    really executes).  Batching passes per dispatch amortizes this dev
-    setup's ~28 ms tunnel dispatch overhead out of the measurement — a
-    tunnel artifact, not production cadence: the production loop
-    (loop/solver.py) dispatches scoring about once per round.  Single-
-    dispatch numbers are reported separately in BASELINE.md."""
+    """Sustained ON-DEVICE scoring rate: the pair-structured scoring path
+    (ops/pair_score.py — the kernel the production solver uses for dense
+    k=3 at this n) run ``rounds_per_dispatch`` times inside one jit with a
+    loop-carried dependence (defeats loop hoisting, so every pass really
+    executes).  Batching passes per dispatch amortizes this dev setup's
+    ~28 ms tunnel dispatch overhead out of the measurement — a tunnel
+    artifact, not production cadence: the production loop (loop/solver.py)
+    dispatches scoring about once per round.  The rate counts REAL
+    candidates (C(n,3)), not the pair layout's padded slots.  The generic
+    any-table kernel (ops/fused_score.py, QCQP/sharded path) and single-
+    dispatch numbers are reported separately in BASELINE.md
+    (scripts/bench_kernels.py)."""
     import jax
     import jax.numpy as jnp
 
     from sdpcutsel_tpu.config import ScorerConfig
-    from sdpcutsel_tpu.cuts.enumerate import combinations_table
     from sdpcutsel_tpu.instances import generate_spar
-    from sdpcutsel_tpu.models.features import candidate_q_features
     from sdpcutsel_tpu.models.scorer import load_params
-    from sdpcutsel_tpu.ops.fused_score import fused_score_k3, mlp_params_for_kernel
-    from sdpcutsel_tpu.parallel.sharding import pad_table
+    from sdpcutsel_tpu.ops.fused_score import mlp_params_for_kernel
+    from sdpcutsel_tpu.ops.pair_score import (
+        build_pair_layout, pair_consts_static, pair_score_fused,
+    )
     from sdpcutsel_tpu.utils.profiling import timed
 
     inst = generate_spar(n, 100, 1)
     Q = jnp.asarray(inst.Q, jnp.float32)
-    block = 1024
-    tbl_np, _ = pad_table(combinations_table(n, k), block)
-    table = jnp.asarray(tbl_np)
-    T = table.shape[0]
     cfg = ScorerConfig()
     params, _ = load_params(k, tuple(cfg.hidden))
-    triQ, scale = candidate_q_features(Q, table)
     W = [jnp.asarray(a) for a in mlp_params_for_kernel(params)]
+    pi, pj, _, _ = build_pair_layout(n)
+    consts = pair_consts_static(Q, pi, pj)
+    T = n * (n - 1) * (n - 2) // 6           # real candidates per pass
 
     R = rounds_per_dispatch
 
@@ -56,12 +58,10 @@ def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=40):
     # different instance then hit the same cached compile instead of a fresh
     # multi-minute remote compile
     @jax.jit
-    def sustained(x, X, table, triQ, scale, *W):
+    def sustained(x, X, consts, *W):
         def body(i, acc):
-            nn, feas = fused_score_k3(
-                x + acc * 1e-12, X, table, triQ, scale, *W,
-                block=block, sweeps=5,
-            )
+            nn, feas = pair_score_fused(x + acc * 1e-12, X, consts, *W,
+                                        sweeps=5)
             return acc + feas.sum() + nn.sum()
         return jax.lax.fori_loop(0, R, body, 0.0)
 
@@ -71,7 +71,7 @@ def tpu_scoring_rate(n=125, k=3, repeats=5, rounds_per_dispatch=40):
                             + 0.2 * rng.standard_normal((n, n)), 0, 1), jnp.float32)
     X = 0.5 * (X + X.T)
 
-    sec, _ = timed(sustained, x, X, table, triQ, scale, *W, repeats=repeats)
+    sec, _ = timed(sustained, x, X, consts, *W, repeats=repeats)
     return R * T / sec
 
 
