@@ -64,9 +64,17 @@ def main():
         tol = 1e-3 * (1 + abs(ub))
         ok = lb - tol <= rec["sdp"] <= ub + tol
         fresh = {"sdp_lower": lb, "sdp_rel_width": rel, "sdp_ok": bool(ok)}
+        if rec["sdp"] > ub + tol:
+            # registry value is a stall-stopped eigencut bound that sits
+            # ABOVE the fresh upper bound — i.e. too loose, which would
+            # inflate gap-closed%.  Tighten in place (both are valid upper
+            # bounds, so min is too); keep the stale value for audit.
+            fresh.update({"sdp_prev_stale": rec["sdp"], "sdp": ub,
+                          "sdp_ok": True})
         rec.update(fresh)
         print(f"[validate] {name}: registry={rec['sdp']:.4f} "
-              f"fresh_ub={ub:.4f} lb={lb:.4f} rel_width={rel:.2e} ok={ok}",
+              f"fresh_ub={ub:.4f} lb={lb:.4f} rel_width={rel:.2e} ok={ok}"
+              + (" TIGHTENED" if "sdp_prev_stale" in fresh else ""),
               flush=True)
         # Locked read-merge-write: take an exclusive flock on a sidecar lock
         # file (never replaced, so the lock can't be split across inodes by
