@@ -99,7 +99,8 @@ def init_batched_state(Qb, cb, capacity: int, kmax: int, dtype=jnp.float32,
     )
 
 
-def _make_local_scorer(scorer: ScorerConfig, k: int, use_fused: bool):
+def _make_local_scorer(scorer: ScorerConfig, k: int, use_fused: bool,
+                       pair_layout: bool = False):
     """Local-shard scorer: fn(x, X, key, Q, table_shard) -> (Tshard,) scores.
 
     Runs independently per ('data' instance, 'cand' shard) — x, X are
@@ -107,8 +108,37 @@ def _make_local_scorer(scorer: ScorerConfig, k: int, use_fused: bool):
     mirror loop/solver.py's (SURVEY.md section 0.4); "neural" computes the
     per-candidate Q features (models/features.py) on the fly from the
     replicated Q, so nothing instance-specific needs pre-sharding.
+
+    pair_layout: the shard's table rows are whole 128-lane pair runs
+    (sharding.shard_pair_candidates); the scorer recovers the pairs as
+    table[::128, :2] and scores through ops/pair_score.py's jnp path —
+    vmap/shard_map-safe and within ~8% of the Pallas pair kernel on chip.
     """
     strat = scorer.strategy
+
+    if pair_layout:
+        if strat not in ("neural", "feasibility", "combined"):
+            raise ValueError(
+                f"pair_layout supports neural/feasibility/combined, "
+                f"not {strat!r}")
+        from ..models.scorer import load_params
+        from ..ops.fused_score import mlp_params_for_kernel
+        from ..ops.pair_score import pair_consts_static, pair_score_jnp
+
+        params, _ = load_params(3, tuple(scorer.hidden), scorer.weights_path,
+                                scorer.seed)
+        W = [jnp.asarray(a) for a in mlp_params_for_kernel(params)]
+        neg = -jnp.inf
+
+        def score(x, X, key, Q, table):
+            consts = pair_consts_static(Q, table[::128, 0], table[::128, 1])
+            nn, feas = pair_score_jnp(x, X, consts, *W, sweeps=5)
+            if strat == "feasibility":
+                return feas
+            if strat == "combined":
+                return jnp.where(feas > 0.0, nn, neg)
+            return nn
+        return score
 
     if strat == "feasibility":
         def score(x, X, key, Q, table):
@@ -231,6 +261,7 @@ def make_sharded_round_step(
     use_fused: Optional[bool] = None,
     m_dense: int = 0,
     kmax: int = 3,
+    pair_layout: bool = False,
 ):
     """Build the jitted sharded production round step over the given mesh.
 
@@ -238,7 +269,9 @@ def make_sharded_round_step(
     are conveniences for benches/tests.  ``use_fused`` selects the Pallas
     fused scorer for the neural path (default: only on TPU; each shard's
     table slice must then be a multiple of 1024 rows —
-    parallel.sharding.shard_candidates(block=1024)).
+    parallel.sharding.shard_candidates(block=1024)).  ``pair_layout``
+    switches to the pair-structured dense-k3 scoring path — the table must
+    then come from parallel.sharding.shard_pair_candidates.
 
     Returns step(state: BatchedRoundState, table, valid, dense=None)
     -> (state, info) with shardings: state leaves over 'data', table over
@@ -262,8 +295,9 @@ def make_sharded_round_step(
         use_fused = (
             jax.default_backend() == "tpu"
             and scorer.strategy in ("neural", "combined")
+            and not pair_layout
         )
-    score_local = _make_local_scorer(scorer, kmax, use_fused)
+    score_local = _make_local_scorer(scorer, kmax, use_fused, pair_layout)
 
     dense_spec = DenseRows(G=P("data"), g=P("data"), h=P("data"))
 

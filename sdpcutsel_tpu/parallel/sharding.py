@@ -56,6 +56,30 @@ def shard_candidates(table: np.ndarray, mesh: Mesh, block: int = None):
     )
 
 
+def shard_pair_candidates(n: int, mesh: Mesh, block: int = 1024):
+    """Pair-layout candidate table (ops/pair_score.py) sharded over 'cand'.
+
+    The global table is build_pair_layout's slot order (slot p*128 + l =
+    triple (pi[p], pj[p], l)); shard slices are multiples of ``block``
+    (>= 128), so every shard's rows remain whole 128-lane pair runs and a
+    shard-local scorer can recover its pairs as table[::128, :2].  Returns
+    (table, valid) device-put like shard_candidates.
+    """
+    from ..ops.pair_score import build_pair_layout
+
+    assert block % 128 == 0
+    _, _, table, valid = build_pair_layout(n)
+    parts = mesh.shape["cand"]
+    padded, _ = pad_table(np.asarray(table), parts * block)
+    valid_full = np.zeros(padded.shape[0], bool)
+    valid_full[: valid.shape[0]] = valid
+    sharding = NamedSharding(mesh, P("cand", None))
+    return (
+        jax.device_put(jnp.asarray(padded), sharding),
+        jax.device_put(jnp.asarray(valid_full), NamedSharding(mesh, P("cand"))),
+    )
+
+
 def sharded_score_and_select(score_local_fn, mesh: Mesh, sel_size: int):
     """Build the sharded score->select step.
 
