@@ -143,7 +143,8 @@ def sdp_relaxation_bound(
     return history[-1]["bound"], bound0, history
 
 
-def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2) -> float:
+def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2,
+                    repair_iters: int = 30) -> float:
     """Independent f64 LOWER bound on the SDP relaxation value from a
     constructed feasible point (VERDICT round-1 item 6: the eigencut loop's
     stall-stop yields a certified UPPER bound that could in principle stop
@@ -157,7 +158,16 @@ def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2) -> float:
     lambda_min of Z(alpha) = (1-alpha) Z* + alpha Z0 is concave in alpha, so
     bisection finds the smallest alpha with Z(alpha) PSD; the affine
     combination stays McCormick-feasible, and its objective is a valid lower
-    bound on the SDP max."""
+    bound on the SDP max.
+
+    The raw LP point can sit far outside the PSD cone (the eigencut loop
+    only separates along low-dimensional submatrices), forcing a large
+    anchor blend that craters the objective.  So we ALSO run alternating
+    projections on X with x held fixed — Schur: Z ⪰ 0 iff M = X - xx' ⪰ 0,
+    alternate eigenvalue-clipping M into the PSD cone with clipping X back
+    into the McCormick box — and certify the blend from each iterate; every
+    blend is a valid lower bound regardless of projection convergence, so
+    the returned max is too."""
     Q = np.asarray(Q, np.float64)
     c = np.asarray(c, np.float64)
     n = c.shape[0]
@@ -177,26 +187,47 @@ def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2) -> float:
 
     x0 = np.full(n, 0.5)
     X0 = np.full((n, n), 0.25) + gamma * np.eye(n)
-    Zs, Z0 = Zof(x, X), Zof(x0, X0)
+    Z0 = Zof(x0, X0)
     assert np.linalg.eigvalsh(Z0)[0] > 0, "interior anchor must be PSD"
 
-    def lam(alpha):
-        return np.linalg.eigvalsh((1 - alpha) * Zs + alpha * Z0)[0]
+    def blend_bound(xv, Xv):
+        Zs = Zof(xv, Xv)
 
-    if lam(0.0) >= 0.0:
-        alpha = 0.0
+        def lam(alpha):
+            return np.linalg.eigvalsh((1 - alpha) * Zs + alpha * Z0)[0]
+
+        if lam(0.0) >= 0.0:
+            alpha = 0.0
+        else:
+            a, b = 0.0, 1.0  # lam(1) > 0
+            for _ in range(60):
+                mid = 0.5 * (a + b)
+                if lam(mid) >= 0.0:
+                    b = mid
+                else:
+                    a = mid
+            alpha = min(b + 1e-9, 1.0)
+        xa = (1 - alpha) * xv + alpha * x0
+        Xa = (1 - alpha) * Xv + alpha * X0
+        return float(0.5 * np.sum(Q * Xa) + c @ xa)
+
+    best = blend_bound(x, X)
+    Xr = X
+    for it in range(repair_iters):
+        M = Xr - np.outer(x, x)
+        w, V = np.linalg.eigh(M)
+        if w[0] >= -1e-12:
+            best = max(best, blend_bound(x, Xr))
+            break
+        M = (V * np.maximum(w, 0.0)) @ V.T
+        Xr = np.clip(np.outer(x, x) + M, lo, hi)
+        Xr = 0.5 * (Xr + Xr.T)
+        # certify intermediate iterates sparsely (each blend costs ~60 eighs)
+        if it % 10 == 9:
+            best = max(best, blend_bound(x, Xr))
     else:
-        a, b = 0.0, 1.0  # lam(1) > 0
-        for _ in range(60):
-            mid = 0.5 * (a + b)
-            if lam(mid) >= 0.0:
-                b = mid
-            else:
-                a = mid
-        alpha = min(b + 1e-9, 1.0)
-    xa = (1 - alpha) * x + alpha * x0
-    Xa = (1 - alpha) * X + alpha * X0
-    return float(0.5 * np.sum(Q * Xa) + c @ xa)
+        best = max(best, blend_bound(x, Xr))
+    return best
 
 
 def validate_sdp_bound(inst, lp_cfg: LPConfig | None = None,

@@ -44,3 +44,22 @@ def test_validate_rejects_qcqp():
 
     with pytest.raises(ValueError, match="BoxQP-only"):
         validate_sdp_bound(generate_qcqp(10, 30, 1, 1))
+
+
+def test_lower_bound_repair_dominates_raw_blend():
+    """Alternating-projection repair must certify at least as tight a lower
+    bound as the raw anchor blend, and strictly tighter on a point far from
+    the PSD cone (the antitone McCormick face)."""
+    import numpy as np
+
+    from sdpcutsel_tpu.instances import load_or_generate
+
+    inst = load_or_generate("spar020-100-1", data_dir="data/boxqp")
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.3, 0.7, inst.n)
+    X = np.maximum(0.0, x[:, None] + x[None, :] - 1.0)
+    np.fill_diagonal(X, x)
+    lb_raw = sdp_lower_bound(inst.Q, inst.c, x, X, repair_iters=0)
+    lb_rep = sdp_lower_bound(inst.Q, inst.c, x, X)
+    assert lb_rep >= lb_raw - 1e-9
+    assert lb_rep > lb_raw + 1.0  # strict win on this constructed point
