@@ -71,6 +71,14 @@ def main():
             # bounds, so min is too); keep the stale value for audit.
             fresh.update({"sdp_prev_stale": rec["sdp"], "sdp": ub,
                           "sdp_ok": True})
+        elif rec["sdp"] < lb - tol:
+            # registry value sits BELOW the certified feasible-point lower
+            # bound — provably NOT a valid SDP upper bound (it would deflate
+            # gap-closed% by inflating the denominator).  Replace with the
+            # fresh eigencut upper bound, the certified valid value; keep
+            # the wrong one for audit.
+            fresh.update({"sdp_prev_stale": rec["sdp"], "sdp": ub,
+                          "sdp_ok": True})
         rec.update(fresh)
         print(f"[validate] {name}: registry={rec['sdp']:.4f} "
               f"fresh_ub={ub:.4f} lb={lb:.4f} rel_width={rel:.2e} ok={ok}"

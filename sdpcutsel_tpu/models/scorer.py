@@ -88,13 +88,18 @@ def make_fused_scorer(Q, table, cfg: ScorerConfig):
     return score
 
 
-def neural_score_fn(Q, table, cfg: ScorerConfig, combined: bool = False):
+def neural_score_fn(Q, table, cfg: ScorerConfig, combined: bool = False,
+                    gate_tol: float = 0.0):
     """Build the jitted all-candidates scorer for one instance.
 
     score(rho) = scale(rho) * MLP(features(rho))  — the estimated bound
     improvement of cutting on rho.  With combined=True, candidates whose
-    Z(rho) is not violated (feasibility score <= 0) are masked out so the
-    neural ranking only spends selections on violated candidates.
+    Z(rho) is not violated (feasibility score <= gate_tol) are masked out so
+    the neural ranking only spends selections on violated candidates.
+    Pass gate_tol = CutConfig.viol_tol to gate at the same threshold the cut
+    generator uses (a candidate below it cannot emit a cut at all, so
+    selecting it wastes the slot and can stall the loop once its cut is in
+    the pool — see qcqp/solver.py).
     """
     k = int(table.shape[1])
     params, _ = load_params(k, tuple(cfg.hidden), cfg.weights_path, cfg.seed)
@@ -111,7 +116,7 @@ def neural_score_fn(Q, table, cfg: ScorerConfig, combined: bool = False):
             from ..cuts.eigen import feasibility_scores
 
             viol = feasibility_scores(assemble_Z(x, X, table))
-            s = jnp.where(viol > 0.0, s, -jnp.inf)
+            s = jnp.where(viol > gate_tol, s, -jnp.inf)
         return s
 
     return score

@@ -100,15 +100,24 @@ class CutSolverQCQP(CheckpointableSolver):
             W = [jnp.asarray(a) for a in mlp_params_for_kernel(params)]
             table = self.table
 
+            viol_tol = self.cfg.cuts.viol_tol
+
             def score(x, X, key):
                 nn, feas = fused_score(
                     x, X, table, triQ, scale, *W, block=1024, sweeps=6,
                 )
                 if strat == "feasibility":
                     return masked(feas)
-                if strat == "combined":
-                    return masked(jnp.where(feas > 0.0, nn, neg))
-                return masked(nn)
+                # neural/combined: rank VIOLATED candidates by the NN
+                # estimate.  A candidate below viol_tol cannot emit a cut
+                # (cuts/generate.py uses the same threshold), so an ungated
+                # NN ranking stalls the loop as soon as its top sel_size
+                # candidates all have their cuts in the pool: nothing new is
+                # ever added and the bound freezes (observed on
+                # qcqp020-25-4-1, flat from round 3 of 8).  The clique
+                # candidate table is small enough that this happens within a
+                # few rounds, unlike the dense C(n,3) BoxQP table.
+                return masked(jnp.where(feas > viol_tol, nn, neg))
 
             return score
 
@@ -124,8 +133,11 @@ class CutSolverQCQP(CheckpointableSolver):
         if strat in ("neural", "combined"):
             from ..models.scorer import neural_score_fn
 
+            # gate on violation at the cut generator's threshold (see the
+            # fused branch above for the stall mechanism this prevents)
             fn = neural_score_fn(self.Q, self.table, self.cfg.scorer,
-                                 combined=(strat == "combined"))
+                                 combined=True,
+                                 gate_tol=self.cfg.cuts.viol_tol)
             return lambda x, X, key: masked(fn(x, X, key))
         if strat == "optimality":
             from ..models.labels import exact_score_fn

@@ -122,3 +122,26 @@ def test_harvest_dataset_qcqp_shapes():
     assert l.shape == (32,)
     assert np.all(np.isfinite(f)) and np.all(np.isfinite(l))
     assert np.all(l >= 0.0)
+
+
+def test_neural_score_fn_gates_on_violation():
+    """gate_tol masks candidates whose Z(rho) is PSD at the current point:
+    they cannot emit a cut (cuts/generate.py viol_tol), so an ungated NN
+    ranking stalls the QCQP loop once its top picks are all in the pool
+    (qcqp/solver.py regression)."""
+    n, k = 8, 3
+    table = jnp.asarray(combinations_table(n, k))
+    rng = np.random.default_rng(0)
+    Q = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+
+    # X = xx' makes every Z(rho) PSD (rank-1 completion): all gated out.
+    fn = neural_score_fn(Q, table, ScorerConfig(strategy="neural"),
+                         combined=True, gate_tol=1e-4)
+    s_psd = fn(x, jnp.outer(x, x), jax.random.PRNGKey(0))
+    assert bool((s_psd == -jnp.inf).all())
+
+    # X = 0 off the diagonal-dominant completion violates PSD for generic x:
+    # at least one candidate must survive the gate.
+    s_viol = fn(x, jnp.zeros((n, n), jnp.float32), jax.random.PRNGKey(0))
+    assert bool(jnp.isfinite(s_viol).any())
