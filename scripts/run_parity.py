@@ -48,12 +48,16 @@ def main():
     ap.add_argument("--no-purge", action="store_true",
                     help="disable slack-cut purging in the --tpu-rerun solve "
                          "(matches the replica, which never purges)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend even for --tpu-rerun (same "
+                         "solver code path on the CPU backend; lets parity "
+                         "cells run while another process holds the TPU)")
     args = ap.parse_args()
 
     import jax
 
-    if not args.tpu_rerun:
-        # replica-only run: keep the TPU free for other processes
+    if args.cpu or not args.tpu_rerun:
+        # replica-only run (or forced): keep the TPU free for other processes
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
