@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--polish-iters", type=int, default=60000)
     ap.add_argument("--out", default="results/qcqp_parity.jsonl")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--diversity-alpha", type=float, default=0.0,
+                    help="support-diverse selection penalty (ops/topk.py "
+                         "diverse_topk) — breaks feasibility-score ties "
+                         "toward low-overlap clique subsets")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +99,8 @@ def main():
             cfg = RunConfig(
                 lp=LPConfig(max_iters=args.lp_max_iters, tol=2e-6),
                 cuts=CutConfig(k=args.k, sel_size=args.sel_size,
-                               capacity=1024, purge=False),
+                               capacity=1024, purge=False,
+                               diversity_alpha=args.diversity_alpha),
                 scorer=ScorerConfig(strategy=strat),
                 loop=LoopConfig(rounds=args.rounds,
                                 polish_iters=args.polish_iters),
