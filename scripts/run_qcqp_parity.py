@@ -76,8 +76,15 @@ def main():
                 cliques, _ = chordal_decomposition(
                     inst.n, inst.sparsity_graph())
                 table = jnp.asarray(clique_candidates(cliques, args.k))
+                # identical gated ranking on BOTH stacks (ADVICE r3): the
+                # TPU solver gates neural selection on cut-emission
+                # violation (combined=True, gate_tol=viol_tol); the replica
+                # must rank with the same rule or the cells measure the
+                # selection fix rather than stack parity
                 fn = neural_score_fn(jnp.asarray(inst.Q0, jnp.float32),
-                                     table, ScorerConfig())
+                                     table, ScorerConfig(),
+                                     combined=True,
+                                     gate_tol=CutConfig().viol_tol)
                 key = jax.random.PRNGKey(0)
 
                 def score_fn(x, X, tbl, _fn=fn, _key=key):
@@ -126,6 +133,9 @@ def main():
                 "replica_bounds": rep_bounds, "tpu_bounds": tpu_bounds,
                 "replica_gap_closed": rep_final, "tpu_gap_closed": tpu_final,
                 "ratio": ratio, "replica_wall_s": rep_t, "tpu_wall_s": tpu_t,
+                "tpu_diversity_alpha": args.diversity_alpha,
+                "tpu_backend": jax.default_backend(),
+                "tpu_polish_iters": args.polish_iters,
                 "ts": time.time(),
             }
             os.makedirs(os.path.dirname(args.out), exist_ok=True)

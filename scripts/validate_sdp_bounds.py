@@ -1,18 +1,25 @@
-"""Validate the SDP-bound registry (VERDICT round-1 item 6).
+"""Validate the SDP-bound registry (VERDICT r1 item 6, r3 next-round #1).
 
 For each instance in data/boxqp/bounds.json (or the names given), sandwich
-the SDP value: recompute the eigencut UPPER bound and the independent
-feasible-point LOWER bound (loop/sdp_bound.sdp_lower_bound), then record
-into the registry entry:
+the SDP value and record into the registry entry:
 
-    sdp_lower     — the independent f64 lower bound
-    sdp_rel_width — (upper - lower) / (1 + |upper|), the certified cap on
-                    the error the stall-stop can introduce
+    sdp_lower     — certified f64 lower bound: Burer-Monteiro primal ascent
+                    (loop/sdp_primal.py) + interior-anchor blend repair
+    sdp_rel_width — (sdp - sdp_lower) / (1 + |sdp|): certified cap on the
+                    denominator error from the eigencut stall-stop
     sdp_ok        — registry value lies in [lower - tol, upper + tol]
 
+Two-phase economics: the BM lower bound costs seconds on CPU; the in-out
+eigencut UPPER bound costs minutes on TPU.  So the lower bound is always
+recomputed, and the upper bound is re-run (with the BM point as the in-out
+anchor — see sdp_relaxation_bound) only when the registry value is wider
+than --rel-target above the fresh lower bound.  Both the fresh and registry
+upper bounds are valid, so the min is kept.
+
 Usage:
-    python scripts/validate_sdp_bounds.py --names spar020-100-1,spar030-50-1
-    python scripts/validate_sdp_bounds.py --max-n 50        # whole registry
+    python scripts/validate_sdp_bounds.py --names spar020-100-1 --cpu
+    python scripts/validate_sdp_bounds.py --min-n 80 --max-n 125   # TPU
+    python scripts/validate_sdp_bounds.py --lb-only --max-n 125 --cpu
 """
 
 import argparse
@@ -21,17 +28,45 @@ import json
 import os
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def update_registry(reg_path, name, fresh):
+    """Locked read-merge-write: exclusive flock on a sidecar lock file,
+    re-read under the lock, merge only the freshly computed keys, publish
+    via os.replace (crash-safe, concurrent-run-safe)."""
+    with open(reg_path + ".lock", "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        with open(reg_path) as f:
+            merged = json.load(f)
+        merged[name] = {**merged.get(name, {}), **fresh}
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(reg_path)), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as tf:
+                json.dump(merged, tf, indent=1, sort_keys=True)
+            os.replace(tmp, reg_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+    return merged
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default="data/boxqp")
     ap.add_argument("--names", default=None, help="comma list; default all")
-    ap.add_argument("--max-n", type=int, default=50)
-    ap.add_argument("--max-rounds", type=int, default=60)
+    ap.add_argument("--min-n", type=int, default=0)
+    ap.add_argument("--max-n", type=int, default=125)
+    ap.add_argument("--max-rounds", type=int, default=150)
     ap.add_argument("--lp-max-iters", type=int, default=20000)
+    ap.add_argument("--rel-target", type=float, default=0.03,
+                    help="skip the ub re-run when registry width <= this")
+    ap.add_argument("--lb-only", action="store_true",
+                    help="only refresh the BM lower bound (CPU-cheap)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -43,7 +78,8 @@ def main():
 
     from sdpcutsel_tpu.config import LPConfig
     from sdpcutsel_tpu.instances import load_or_generate
-    from sdpcutsel_tpu.loop.sdp_bound import validate_sdp_bound
+    from sdpcutsel_tpu.loop.sdp_bound import sdp_relaxation_bound
+    from sdpcutsel_tpu.loop.sdp_primal import bm_feasible_point
 
     reg_path = os.path.join(args.data_dir, "bounds.json")
     with open(reg_path) as f:
@@ -56,57 +92,48 @@ def main():
             print(f"[validate] {name}: not in registry, skipping", flush=True)
             continue
         n = int(name[4:7])
-        if n > args.max_n:
+        if not (args.min_n <= n <= args.max_n):
             continue
         inst = load_or_generate(name, data_dir=args.data_dir)
-        ub, lb, rel = validate_sdp_bound(inst, lp, max_rounds=args.max_rounds)
         rec = reg[name]
-        tol = 1e-3 * (1 + abs(ub))
-        ok = lb - tol <= rec["sdp"] <= ub + tol
-        fresh = {"sdp_lower": lb, "sdp_rel_width": rel, "sdp_ok": bool(ok)}
-        if rec["sdp"] > ub + tol:
-            # registry value is a stall-stopped eigencut bound that sits
-            # ABOVE the fresh upper bound — i.e. too loose, which would
-            # inflate gap-closed%.  Tighten in place (both are valid upper
-            # bounds, so min is too); keep the stale value for audit.
-            fresh.update({"sdp_prev_stale": rec["sdp"], "sdp": ub,
-                          "sdp_ok": True})
-        elif rec["sdp"] < lb - tol:
-            # registry value sits BELOW the certified feasible-point lower
-            # bound — provably NOT a valid SDP upper bound (it would deflate
-            # gap-closed% by inflating the denominator).  Replace with the
-            # fresh eigencut upper bound, the certified valid value; keep
-            # the wrong one for audit.
-            fresh.update({"sdp_prev_stale": rec["sdp"], "sdp": ub,
-                          "sdp_ok": True})
-        rec.update(fresh)
-        print(f"[validate] {name}: registry={rec['sdp']:.4f} "
-              f"fresh_ub={ub:.4f} lb={lb:.4f} rel_width={rel:.2e} ok={ok}"
-              + (" TIGHTENED" if "sdp_prev_stale" in fresh else ""),
-              flush=True)
-        # Locked read-merge-write: take an exclusive flock on a sidecar lock
-        # file (never replaced, so the lock can't be split across inodes by
-        # os.replace), re-read the registry under the lock, merge ONLY the
-        # freshly computed keys into the on-disk entry (never the stale
-        # in-memory rec — a concurrent run may have updated other keys), and
-        # publish atomically via os.replace so a crash mid-write can never
-        # leave bounds.json truncated.
-        with open(reg_path + ".lock", "w") as lock_f:
-            fcntl.flock(lock_f, fcntl.LOCK_EX)
-            with open(reg_path) as f:
-                merged = json.load(f)
-            merged[name] = {**merged.get(name, rec), **fresh}
-            reg = merged
-            fd, tmp = tempfile.mkstemp(
-                dir=os.path.dirname(os.path.abspath(reg_path)), suffix=".tmp")
-            try:
-                with os.fdopen(fd, "w") as tf:
-                    json.dump(reg, tf, indent=1, sort_keys=True)
-                os.replace(tmp, reg_path)
-            except BaseException:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-                raise
+        t0 = time.time()
+
+        # --- phase A: tight certified lower bound (BM + blend repair) ---
+        x_in, X_in, lb = bm_feasible_point(inst.Q, inst.c)
+        lb = max(lb, rec.get("sdp_lower", -float("inf")))
+        sdp = rec["sdp"]
+        tol = 1e-3 * (1 + abs(sdp))
+        rel = (sdp - lb) / (1.0 + abs(sdp))
+        fresh = {"sdp_lower": lb, "sdp_rel_width": rel,
+                 "sdp_ok": bool(lb - tol <= sdp)}
+        did_ub = False
+
+        # --- phase B: in-out eigencut upper bound, only where needed ---
+        if not args.lb_only and (rel > args.rel_target or sdp < lb - tol):
+            ub, _, hist = sdp_relaxation_bound(
+                inst, lp, max_rounds=args.max_rounds, anchor=(x_in, X_in),
+                max_cuts_per_round=16, purge_at=700,
+                stall_tol=5e-6, stall_rounds=12)
+            did_ub = True
+            if sdp < lb - tol:
+                # registry value provably NOT a valid SDP upper bound (below
+                # the certified feasible value): replace with the fresh one
+                fresh["sdp_prev_stale"] = sdp
+                sdp = ub
+            elif ub < sdp:
+                # both valid upper bounds -> keep the tighter
+                fresh["sdp_prev_stale"] = sdp
+                sdp = min(sdp, ub)
+            fresh["sdp"] = sdp
+            fresh["sdp_rel_width"] = rel = (sdp - lb) / (1.0 + abs(sdp))
+            fresh["sdp_ok"] = bool(lb - tol <= sdp)
+
+        print(f"[validate] {name}: sdp={sdp:.4f} lb={lb:.4f} "
+              f"rel_width={rel:.4f} ok={fresh['sdp_ok']}"
+              + (" UB-RERUN" if did_ub else "")
+              + (" TIGHTENED" if "sdp_prev_stale" in fresh else "")
+              + f" ({time.time()-t0:.0f}s)", flush=True)
+        reg = update_registry(reg_path, name, fresh)
     print("[validate] done", flush=True)
 
 

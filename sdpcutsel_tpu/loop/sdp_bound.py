@@ -41,9 +41,12 @@ def _empty_dense_cuts(n: int, capacity: int, dtype):
 
 
 @jax.jit
-def _gen_dense_cuts(x, X, dense: DenseRows, count, eig_tol):
+def _gen_dense_cuts(x, X, dense: DenseRows, count, eig_tol, m_max=10**9):
     """Eigendecompose Z at (x, X); append one unit-norm dense row per
-    negative eigenvalue at positions count.. (scatter, drop on overflow)."""
+    negative eigenvalue at positions count.. (scatter, drop on overflow).
+    At most the m_max MOST negative eigen-directions are kept (eigh returns
+    ascending order, so the first m_max columns are the deepest cuts) —
+    shallow cuts fill the fixed-capacity buffer without moving the bound."""
     n = x.shape[0]
     Z = jnp.concatenate(
         [jnp.concatenate([jnp.ones((1, 1), x.dtype), x[None, :]], axis=1),
@@ -58,7 +61,7 @@ def _gen_dense_cuts(x, X, dense: DenseRows, count, eig_tol):
     h = -(v0 ** 2)                                   # (n+1,)
     nrm = jnp.sqrt(jnp.sum(G**2, axis=(1, 2)) + jnp.sum(g**2, axis=1)) + 1e-30
     G, g, h = G / nrm[:, None, None], g / nrm[:, None], h / nrm
-    valid = w < -eig_tol
+    valid = (w < -eig_tol) & (jnp.arange(w.shape[0]) < m_max)
     dest = count + jnp.cumsum(valid.astype(jnp.int32)) - 1
     dest = jnp.where(valid, dest, dense.h.shape[0])  # drop invalid/overflow
     new = DenseRows(
@@ -68,6 +71,48 @@ def _gen_dense_cuts(x, X, dense: DenseRows, count, eig_tol):
     )
     ncut = jnp.sum(valid.astype(jnp.int32))
     return new, jnp.minimum(count + ncut, dense.h.shape[0]), w[0]
+
+
+def _purge_dense_rows(dense: DenseRows, state, count: int, m0: int):
+    """Host-side compaction of the dense cut buffer: keep the QCQP prefix
+    [0, m0) plus every cut that is near-active at the current LP point
+    (small slack) or carries dual weight; compact survivors to the front and
+    permute the warm-start duals to match.  Shallow stale cuts otherwise
+    saturate the fixed-capacity buffer and silently freeze the bound (the
+    observed n=100 plateau, round 4)."""
+
+    G = np.asarray(dense.G, np.float64)
+    g = np.asarray(dense.g, np.float64)
+    h = np.asarray(dense.h, np.float64)
+    x = np.asarray(state.x, np.float64)
+    X = np.asarray(state.X, np.float64)
+    yD = np.asarray(state.yD, np.float64)
+    idx = np.arange(count)
+    slack = np.einsum("mij,ij->m", G[:count], X) + g[:count] @ x - h[:count]
+    dual = yD[:count]
+    # hard budget: PDHG duals are smeared (no simplex-style sparsity), so a
+    # threshold rule keeps everything; instead RANK by near-activity with a
+    # dual-weight bonus and keep the best `target` rows
+    target = max(m0, int(0.6 * count))
+    sn = slack / max(1e-12, float(slack.std()))
+    dn = dual / max(1e-12, float(dual.std()))
+    score = sn - dn
+    score[:m0] = -np.inf                      # QCQP prefix always survives
+    kept = idx[np.argsort(score, kind="stable")[:target]]
+    kept.sort()
+    cap = dense.h.shape[0]
+    dtype = dense.G.dtype
+    Gn = np.zeros_like(np.asarray(dense.G))
+    gn = np.zeros_like(np.asarray(dense.g))
+    hn = np.zeros_like(np.asarray(dense.h))
+    yn = np.zeros_like(np.asarray(state.yD))
+    k = len(kept)
+    Gn[:k], gn[:k], hn[:k] = G[kept], g[kept], h[kept]
+    yn[:k] = yD[kept]
+    new_dense = DenseRows(G=jnp.asarray(Gn, dtype), g=jnp.asarray(gn, dtype),
+                          h=jnp.asarray(hn, dtype))
+    new_state = state._replace(yD=jnp.asarray(yn, state.yD.dtype))
+    return new_dense, new_state, jnp.asarray(min(k, cap), jnp.int32)
 
 
 def sdp_relaxation_bound(
@@ -81,13 +126,28 @@ def sdp_relaxation_bound(
     stall_tol: float = 5e-5,
     stall_rounds: int = 5,
     with_point: bool = False,
+    anchor=None,
+    max_cuts_per_round: int = 10**9,
+    purge_at: int | None = None,
 ):
     """Returns (sdp_bound, initial_relaxation_bound, history list); with
     with_point=True additionally the final LP point (x, X) as f64 numpy —
     the input to ``sdp_lower_bound``'s independent validation.
 
     Accepts a BoxQP instance (Q, c) or a QCQP instance (Q0, c0, constraint
-    rows become a DenseRows prefix of the eigencut buffer)."""
+    rows become a DenseRows prefix of the eigencut buffer).
+
+    ``anchor=(x_in, X_in)``: enable in-out separation (Ben-Ameur & Neto
+    style).  Plain eigencut stalls at large n: cuts generated AT the LP
+    optimum stop improving the bound while lambda_min(Z*) is still ~-1
+    (observed round 4, n=100).  With a deep PSD-interior anchor — the
+    Burer-Monteiro near-optimal primal point (sdp_primal.py) is ideal —
+    cuts are instead generated at the blend (1-beta) z_LP + beta z_anchor,
+    which supports the cone much closer to the feasible region, so the
+    outer approximation tightens far faster.  beta adapts: shrinks when the
+    blend is already PSD (cut would be invalid... not violated), grows
+    after cuts succeed.  The reported bound is always the LP value —
+    a certified upper bound regardless of where cuts were generated."""
     lp_cfg = lp_cfg or LPConfig()
     n = inst.n
     is_qcqp = hasattr(inst, "Q0")
@@ -112,6 +172,13 @@ def sdp_relaxation_bound(
         count = jnp.asarray(m, jnp.int32)
     state = init_state(n, 1, capacity, dtype)
 
+    if anchor is not None:
+        x_in = jnp.asarray(anchor[0], dtype)
+        X_in = jnp.asarray(anchor[1], dtype)
+        beta = 0.5
+    m0 = int(count)          # QCQP prefix rows: never purged
+    m_max = jnp.asarray(max_cuts_per_round, jnp.int32)
+
     history = []
     bound0 = None
     for r in range(max_rounds):
@@ -119,28 +186,53 @@ def sdp_relaxation_bound(
         bound = dual_bound_f64(Qnp, cnp, pool, state, dense=dense)
         if bound0 is None:
             bound0 = bound
-        dense, count, lam_min = _gen_dense_cuts(
-            state.x, state.X, dense, count, eig_tol
-        )
+        if purge_at is not None and int(count) > purge_at:
+            dense, state, count = _purge_dense_rows(
+                dense, state, int(count), m0)
+        if anchor is not None:
+            # in-out: separate at the blend toward the interior anchor; if
+            # the blend is PSD (no cut), shrink beta toward the LP point
+            for _ in range(8):
+                xs = (1.0 - beta) * state.x + beta * x_in
+                Xs = (1.0 - beta) * state.X + beta * X_in
+                d2, c2, lam_min = _gen_dense_cuts(
+                    xs, Xs, dense, count, eig_tol, m_max)
+                if float(lam_min) < -eig_tol:
+                    dense, count = d2, c2
+                    beta = min(beta * 1.3, 0.9)
+                    break
+                beta *= 0.5
+            else:
+                # even the (near-)LP point separates nothing: converged
+                dense, count, lam_min = _gen_dense_cuts(
+                    state.x, state.X, dense, count, eig_tol, m_max)
+        else:
+            dense, count, lam_min = _gen_dense_cuts(
+                state.x, state.X, dense, count, eig_tol, m_max
+            )
         lam_min = float(lam_min)
-        history.append({"round": r, "bound": bound, "lam_min": lam_min})
+        history.append({"round": r, "bound": bound, "lam_min": lam_min,
+                        "cuts": int(count)})
         if verbose:
             print(f"[sdp_bound] round {r}: bound={bound:.6f} "
                   f"lam_min={lam_min:.2e} cuts={int(count)}")
         if lam_min >= -eig_tol:
             break
-        # stall-based early stop: the bound is a monotone certified upper
-        # bound, and on larger n it stabilizes long before lam_min clears
-        # the tolerance — the remaining rounds change the gap denominator by <0.01%
+        # Each round's bound is an INDEPENDENTLY certified upper bound
+        # (f64 dual certificate), so the running MIN is too — and purging
+        # can make later rounds non-monotone, so best-so-far is the value
+        # to both report and stall-test.
+        best = min(h["bound"] for h in history)
         if len(history) > stall_rounds:
-            prev = history[-1 - stall_rounds]["bound"]
-            if abs(prev - bound) <= stall_tol * (1.0 + abs(bound)):
+            prev_best = min(h["bound"] for h in history[: -stall_rounds])
+            if prev_best - best <= stall_tol * (1.0 + abs(best)):
                 break
 
+    best = min(h["bound"] for h in history)
     if with_point:
         point = (np.asarray(state.x, np.float64), np.asarray(state.X, np.float64))
-        return history[-1]["bound"], bound0, history, point
-    return history[-1]["bound"], bound0, history
+        return best, bound0, history, point
+    return best, bound0, history
 
 
 def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2,
@@ -241,9 +333,19 @@ def validate_sdp_bound(inst, lp_cfg: LPConfig | None = None,
             "validate_sdp_bound is BoxQP-only: the constructed feasible "
             "point ignores QCQP constraint rows, so it would not be a valid "
             "lower bound there")
-    ub, _, _, (x, X) = sdp_relaxation_bound(
-        inst, lp_cfg, max_rounds=max_rounds, with_point=True, **kw)
-    lb = sdp_lower_bound(inst.Q, inst.c, x, X)
+    from .sdp_primal import bm_feasible_point
+
+    # Tight lower end: Burer-Monteiro primal ascent (round 4; replaces the
+    # LP-point blend whose certificate collapsed at n>=40), certified by the
+    # interior-anchor blend.  The SAME near-optimal point then anchors the
+    # in-out eigencut loop, which converges far past the plain loop's stall.
+    x_in, X_in, lb = bm_feasible_point(inst.Q, inst.c)
+    kw.setdefault("max_cuts_per_round", 16)
+    kw.setdefault("purge_at", 700)
+    kw.setdefault("stall_tol", 5e-6)
+    kw.setdefault("stall_rounds", 12)
+    ub, _, _ = sdp_relaxation_bound(
+        inst, lp_cfg, max_rounds=max_rounds, anchor=(x_in, X_in), **kw)
     rel = (ub - lb) / (1.0 + abs(ub))
     return ub, lb, rel
 
