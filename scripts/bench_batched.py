@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--qcqp-m", type=int, default=2,
                     help="quadratic constraints per QCQP instance")
     ap.add_argument("--qcqp-density", type=int, default=30)
+    ap.add_argument("--use-scan", action="store_true",
+                    help="all rounds in ONE dispatch "
+                         "(parallel/round.make_sharded_scan_step) — removes "
+                         "the per-round host-crossing floor")
     args = ap.parse_args()
 
     if args.cpu:
@@ -169,6 +173,39 @@ def main():
         step = make_sharded_round_step(mesh, lp_iters=args.lp_iters,
                                        sel_size=args.sel_size,
                                        strategy=args.strategy)
+
+    if args.use_scan:
+        from sdpcutsel_tpu.parallel.round import (
+            certify_scan_f64, make_sharded_scan_step,
+        )
+
+        scan0 = make_sharded_scan_step(
+            mesh, rounds=args.rounds, lp_iters=args.lp_iters,
+            sel_size=args.sel_size, strategy=args.strategy,
+            kmax=4 if args.qcqp else 3,
+            m_dense=args.qcqp_m if args.qcqp else 0)
+        scan = (lambda st: scan0(st, table, valid, dense))
+        state0 = state
+        state, outs = scan(state0)          # warmup/compile
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        state, outs = scan(state0)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        bounds = certify_scan_f64(state.Q, state.c, outs, dense=dense)
+        print({
+            "problem": "qcqp-k4" if args.qcqp else "boxqp-k3",
+            "mode": "scan",
+            "batch": args.batch, "n": args.n,
+            "mesh": f"{args.data}x{args.cand}",
+            "rounds_per_sec": round(args.rounds / dt, 3),
+            "instance_rounds_per_sec": round(
+                args.batch * args.rounds / dt, 2),
+            "lp_iters_per_round": args.lp_iters,
+            "mean_bound": float(bounds[-1].mean()),
+            "cuts": np.asarray(state.pool.count).tolist(),
+        })
+        return
 
     # warmup / compile
     state, _ = step(state, table, valid)

@@ -236,7 +236,8 @@ def sdp_relaxation_bound(
 
 
 def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2,
-                    repair_iters: int = 30) -> float:
+                    repair_iters: int = 30, rows=None,
+                    anchor=None) -> float:
     """Independent f64 LOWER bound on the SDP relaxation value from a
     constructed feasible point (VERDICT round-1 item 6: the eigencut loop's
     stall-stop yields a certified UPPER bound that could in principle stop
@@ -259,7 +260,17 @@ def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2,
     alternate eigenvalue-clipping M into the PSD cone with clipping X back
     into the McCormick box — and certify the blend from each iterate; every
     blend is a valid lower bound regardless of projection convergence, so
-    the returned max is too."""
+    the returned max is too.
+
+    ``rows=(Gs, gs, bs)``: additional linear constraints
+    <G_i, X> + g_i'x <= b_i (the QCQP lifted constraint rows).  The blend
+    predicate then also requires every row satisfied; each row is affine in
+    alpha and strictly satisfied at the anchor, so the feasible alpha-set is
+    an interval containing 1 and bisection stays valid.  A strictly
+    row-feasible ``anchor=(x_a, X_a)`` is REQUIRED with rows (the default
+    0.5/0.25 anchor knows nothing about them); anchor feasibility is
+    asserted so an invalid anchor fails loudly instead of producing a wrong
+    certificate."""
     Q = np.asarray(Q, np.float64)
     c = np.asarray(c, np.float64)
     n = c.shape[0]
@@ -277,24 +288,53 @@ def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2,
         Z[1:, 1:] = Xv
         return Z
 
-    x0 = np.full(n, 0.5)
-    X0 = np.full((n, n), 0.25) + gamma * np.eye(n)
+    if anchor is not None:
+        x0 = np.asarray(anchor[0], np.float64)
+        X0 = np.asarray(anchor[1], np.float64)
+        lo0 = np.maximum(0.0, x0[:, None] + x0[None, :] - 1.0)
+        hi0 = np.minimum(x0[:, None], x0[None, :])
+        assert (X0 >= lo0 - 1e-12).all() and (X0 <= hi0 + 1e-12).all(), (
+            "interior anchor must be McCormick-feasible")
+    else:
+        if rows is not None:
+            raise ValueError(
+                "rows without a row-feasible anchor: the default interior "
+                "anchor does not satisfy arbitrary QCQP rows")
+        x0 = np.full(n, 0.5)
+        X0 = np.full((n, n), 0.25) + gamma * np.eye(n)
     Z0 = Zof(x0, X0)
     assert np.linalg.eigvalsh(Z0)[0] > 0, "interior anchor must be PSD"
+    if rows is not None:
+        Gs = np.asarray(rows[0], np.float64)
+        gs = np.asarray(rows[1], np.float64)
+        bs = np.asarray(rows[2], np.float64)
+
+        def row_viol(xv, Xv):
+            return (np.einsum("mij,ij->m", Gs, Xv) + gs @ xv - bs).max()
+
+        assert row_viol(x0, X0) < 0.0, (
+            "interior anchor must strictly satisfy the QCQP rows")
 
     def blend_bound(xv, Xv):
         Zs = Zof(xv, Xv)
 
-        def lam(alpha):
-            return np.linalg.eigvalsh((1 - alpha) * Zs + alpha * Z0)[0]
+        def feasible(alpha):
+            if np.linalg.eigvalsh((1 - alpha) * Zs + alpha * Z0)[0] < 0.0:
+                return False
+            if rows is not None:
+                xa = (1 - alpha) * xv + alpha * x0
+                Xa = (1 - alpha) * Xv + alpha * X0
+                if row_viol(xa, Xa) > 0.0:
+                    return False
+            return True
 
-        if lam(0.0) >= 0.0:
+        if feasible(0.0):
             alpha = 0.0
         else:
-            a, b = 0.0, 1.0  # lam(1) > 0
+            a, b = 0.0, 1.0  # feasible(1) holds strictly
             for _ in range(60):
                 mid = 0.5 * (a + b)
-                if lam(mid) >= 0.0:
+                if feasible(mid):
                     b = mid
                 else:
                     a = mid
@@ -322,24 +362,59 @@ def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2,
     return best
 
 
+def qcqp_rows(inst):
+    """The QCQP's lifted linear rows <Q_i/2, X> + c_i'x <= b_i as stacked
+    arrays for the BM solver / blend certificate (SURVEY.md section 0.7)."""
+    Gs = np.stack([0.5 * np.asarray(Qi, np.float64) for Qi in inst.Qs])
+    gs = np.stack([np.asarray(ci, np.float64) for ci in inst.cs])
+    bs = np.asarray(inst.bs, np.float64)
+    return Gs, gs, bs
+
+
+def qcqp_interior_anchor(inst, gammas=(0.1, 0.03, 0.01, 0.003, 0.001)):
+    """Strictly feasible interior anchor for a QCQP: x0 = 0.25*1 (the point
+    the generator guarantees constraint slack at — instances/qcqp.py), X0 =
+    x0 x0' + gamma I.  Z0 is then PSD (Schur: X0 - x0 x0' = gamma I), X0 is
+    strictly inside the McCormick box (off-diag 0.0625 in (0, 0.25)), and
+    gamma shrinks until every row keeps strict slack.  Raises if none of the
+    gammas work (an instance whose constraints are tight at x0 — not
+    produced by our generator)."""
+    n = inst.n
+    x0 = np.full(n, 0.25)
+    Gs, gs, bs = qcqp_rows(inst)
+    base = np.einsum("mij,ij->m", Gs, np.outer(x0, x0)) + gs @ x0 - bs
+    for gamma in gammas:
+        viol = base + gamma * np.trace(Gs, axis1=1, axis2=2)
+        if viol.max() < -1e-9:
+            return x0, np.outer(x0, x0) + gamma * np.eye(n)
+    raise ValueError("no strictly feasible interior anchor found; "
+                     f"best row slack {viol.max():.3e}")
+
+
 def validate_sdp_bound(inst, lp_cfg: LPConfig | None = None,
                        max_rounds: int = 120, **kw):
     """Sandwich the SDP value: (upper, lower, rel_width) where upper is the
     eigencut-loop certificate and lower the independent feasible-point bound.
     rel_width bounds the error the stall-based early stop can introduce into
-    the gap-closed denominator."""
-    if hasattr(inst, "Q0"):
-        raise ValueError(
-            "validate_sdp_bound is BoxQP-only: the constructed feasible "
-            "point ignores QCQP constraint rows, so it would not be a valid "
-            "lower bound there")
+    the gap-closed denominator.
+
+    Handles BOTH problem families: BoxQP directly; QCQP by joining the
+    lifted constraint rows into the BM augmented Lagrangian and requiring
+    the certificate blend to satisfy them (row-feasible interior anchor
+    from qcqp_interior_anchor)."""
     from .sdp_primal import bm_feasible_point
 
     # Tight lower end: Burer-Monteiro primal ascent (round 4; replaces the
     # LP-point blend whose certificate collapsed at n>=40), certified by the
     # interior-anchor blend.  The SAME near-optimal point then anchors the
     # in-out eigencut loop, which converges far past the plain loop's stall.
-    x_in, X_in, lb = bm_feasible_point(inst.Q, inst.c)
+    if hasattr(inst, "Q0"):
+        rows = qcqp_rows(inst) if inst.m > 0 else None
+        anchor0 = qcqp_interior_anchor(inst) if inst.m > 0 else None
+        x_in, X_in, lb = bm_feasible_point(inst.Q0, inst.c0, rows=rows,
+                                           anchor=anchor0)
+    else:
+        x_in, X_in, lb = bm_feasible_point(inst.Q, inst.c)
     kw.setdefault("max_cuts_per_round", 16)
     kw.setdefault("purge_at", 700)
     kw.setdefault("stall_tol", 5e-6)

