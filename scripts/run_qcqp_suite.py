@@ -67,8 +67,14 @@ def main():
 
     logger = JSONLLogger(args.out)
     for spec in args.specs.split(","):
-        n, d, m, seed = (int(v) for v in spec.split("-"))
-        inst = generate_qcqp(n, d, m, seed)
+        if spec.startswith("qcqp"):
+            # full instance name (incl. band-structured qcqpbandNNN-B-M-S)
+            from sdpcutsel_tpu.instances.qcqp import load_or_generate_qcqp
+
+            inst = load_or_generate_qcqp(spec)
+        else:
+            n, d, m, seed = (int(v) for v in spec.split("-"))
+            inst = generate_qcqp(n, d, m, seed)
         if inst.name not in reg:
             sdp, mc, _ = sdp_relaxation_bound(
                 inst, None, max_rounds=args.sdp_max_rounds)

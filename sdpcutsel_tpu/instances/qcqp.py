@@ -50,6 +50,7 @@ class QCQPInstance:
 
 
 _NAME_RE = re.compile(r"^qcqp(\d+)-(\d+)-(\d+)-(\d+)$")  # n-density-m-seed
+_BAND_RE = re.compile(r"^qcqpband(\d+)-(\d+)-(\d+)-(\d+)$")  # n-bw-m-seed
 
 
 def generate_qcqp(n: int, density: int, m: int, seed: int) -> QCQPInstance:
@@ -78,6 +79,50 @@ def generate_qcqp(n: int, density: int, m: int, seed: int) -> QCQPInstance:
     x0 = np.full(n, 0.25)
     for _ in range(m):
         Qi = rand_sparse_sym()
+        ci = rng.integers(-100, 101, size=n).astype(np.float64)
+        val = 0.5 * x0 @ Qi @ x0 + ci @ x0
+        bs.append(float(val + rng.uniform(5.0, 50.0)))
+        Qs.append(Qi)
+        cs.append(ci)
+    return QCQPInstance(name, Q0, c0, tuple(Qs), tuple(cs), tuple(bs))
+
+
+def generate_qcqp_band(n: int, bandwidth: int, m: int,
+                       seed: int) -> QCQPInstance:
+    """Band-structured sparse QCQP: nonzeros only on |i - j| <= bandwidth.
+
+    The large-n QCQP family (VERDICT r3 next #5): a banded sparsity graph
+    is already chordal with maximal cliques of exactly bandwidth+1
+    consecutive indices, so the chordal decomposition (qcqp/chordal.py) is
+    fill-in-free and the candidate count grows LINEARLY in n — unlike
+    random density-p graphs whose fill-in explodes past n~30.  bandwidth
+    3..5 keeps candidate submatrices within the fused kernel's k <= 5.
+    Constraints are generated feasible at x0 = 0.25*ones with slack, like
+    generate_qcqp."""
+    name = f"qcqpband{n:03d}-{bandwidth}-{m}-{seed}"
+    key = (n << 40) | (bandwidth << 24) | (m << 16) | (seed << 1) | 1
+    rng = np.random.Generator(np.random.Philox(key=[key, 0xBA2D]))
+
+    def rand_band_sym():
+        Q = np.zeros((n, n))
+        for d in range(1, bandwidth + 1):
+            v = rng.integers(-50, 51, size=n - d).astype(np.float64)
+            # ~70% of in-band entries nonzero: keeps rows varied without
+            # losing the band structure
+            v *= rng.random(n - d) < 0.7
+            idx = np.arange(n - d)
+            Q[idx, idx + d] = v
+            Q[idx + d, idx] = v
+        d0 = rng.integers(-50, 51, size=n).astype(np.float64)
+        Q[np.arange(n), np.arange(n)] = d0
+        return Q
+
+    Q0 = rand_band_sym()
+    c0 = rng.integers(-100, 101, size=n).astype(np.float64)
+    Qs, cs, bs = [], [], []
+    x0 = np.full(n, 0.25)
+    for _ in range(m):
+        Qi = rand_band_sym()
         ci = rng.integers(-100, 101, size=n).astype(np.float64)
         val = 0.5 * x0 @ Qi @ x0 + ci @ x0
         bs.append(float(val + rng.uniform(5.0, 50.0)))
@@ -125,6 +170,10 @@ def generate_qcqp_family(n: int, density: int, m: int, seed: int,
 
 
 def load_or_generate_qcqp(name: str) -> QCQPInstance:
+    mt = _BAND_RE.match(name)
+    if mt is not None:
+        n, bw, m, seed = (int(g) for g in mt.groups())
+        return generate_qcqp_band(n, bw, m, seed)
     mt = _NAME_RE.match(name)
     if mt is None:
         raise ValueError(f"cannot generate unknown QCQP name: {name}")

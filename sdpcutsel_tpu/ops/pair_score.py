@@ -214,14 +214,19 @@ def _pair_kernel(xp_ref, xd_ref, qd_ref, Xri_ref, Xrj_ref, Qri_ref, Qrj_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pairs_block", "sweeps", "interpret")
+    jax.jit, static_argnames=("pairs_block", "sweeps", "interpret",
+                              "skip_mlp")
 )
 def pair_score_fused(x, X, consts, W1, b1, W2, b2, W3, b3,
                      pairs_block: int = 128, sweeps: int = 5,
-                     interpret: bool = False):
+                     interpret: bool = False, skip_mlp: bool = False):
     """Pallas pair-layout scoring: fused plane assembly + Jacobi in one
     kernel (lane-major, zero relayouts), MLP as XLA matmuls over the
-    kernel's feature-plane output.  Same outputs as pair_score_jnp."""
+    kernel's feature-plane output.  Same outputs as pair_score_jnp.
+
+    skip_mlp=True returns (scale, feas) with no MLP matmuls — a
+    stage-isolation knob for the roofline bench (scripts/bench_roofline.py),
+    NOT a production path."""
     pi = consts["pi"]
     P_pad = pi.shape[0]
     PB = pairs_block
@@ -259,6 +264,8 @@ def pair_score_fused(x, X, consts, W1, b1, W2, b2, W3, b3,
         interpret=interpret,
     )(xp, xd, consts["qd"], Xri, Xrj, consts["Qri"], consts["Qrj"],
       psc, consts["qsc"])
+    if skip_mlp:
+        return scale.reshape(-1), feas.reshape(-1)
     nn = _mlp(feats.reshape(15, -1), scale.reshape(-1),
               W1, b1, W2, b2, W3, b3)
     return nn, feas.reshape(-1)
