@@ -39,6 +39,10 @@ def main():
                     help="run all rounds in one jit dispatch "
                          "(LoopConfig.use_scan; no per-round early stop)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--redo", action="store_true",
+                    help="re-run cells even if already present (appended "
+                         "rows win in summarize_suite's last-row-per-cell "
+                         "ingestion — used for config-default refills)")
     ap.add_argument("--max-cells", type=int, default=0,
                     help="stop after N new cells (0 = unlimited); lets runs "
                          "exit cleanly inside an external time budget instead "
@@ -83,7 +87,7 @@ def main():
     completed = 0
     for name in names:
         for strat in strategies:
-            if (name, strat, args.k) in done:
+            if (name, strat, args.k) in done and not args.redo:
                 continue
             if args.max_cells and completed >= args.max_cells:
                 print(f"[suite] cell budget reached ({completed})", flush=True)
