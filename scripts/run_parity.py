@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--no-purge", action="store_true",
                     help="disable slack-cut purging in the --tpu-rerun solve "
                          "(matches the replica, which never purges)")
+    ap.add_argument("--redo", action="store_true",
+                    help="re-run cells already in the output (use after a "
+                         "suite refill so suite-cell rows pick up the "
+                         "refreshed TPU cells)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend even for --tpu-rerun (same "
                          "solver code path on the CPU backend; lets parity "
@@ -100,7 +104,8 @@ def main():
 
     for name in args.instances.split(","):
         if (name, args.strategy, args.k, args.tpu_rerun,
-                args.diversity_alpha if args.tpu_rerun else 0.0) in done:
+                args.diversity_alpha if args.tpu_rerun else 0.0) in done \
+                and not args.redo:
             print(f"[parity] {name}: already done", flush=True)
             continue
         if name not in reg:
