@@ -82,3 +82,30 @@ def test_best_known_solution_valid_and_tight():
     best_corner = max(f(np.array(v, np.float64))
                       for v in itertools.product([0.0, 1.0], repeat=8))
     assert val >= best_corner - 1e-9
+
+
+def test_qcqp_band_structure():
+    """Band instances: deterministic, banded sparsity, fill-in-free chordal
+    decomposition with cliques of exactly bandwidth+1, constraints feasible
+    with slack at the generator's x0 = 0.25 anchor."""
+    import numpy as np
+
+    from sdpcutsel_tpu.instances.qcqp import (
+        generate_qcqp_band, load_or_generate_qcqp,
+    )
+    from sdpcutsel_tpu.qcqp.chordal import chordal_decomposition
+
+    inst = generate_qcqp_band(40, 4, 10, 1)
+    assert inst.n == 40 and inst.m == 10
+    np.testing.assert_array_equal(inst.Q0,
+                                  generate_qcqp_band(40, 4, 10, 1).Q0)
+    assert np.allclose(
+        load_or_generate_qcqp("qcqpband040-4-10-1").Q0, inst.Q0)
+    for Q in (inst.Q0,) + inst.Qs:
+        i, j = np.nonzero(Q)
+        assert (np.abs(i - j) <= 4).all(), "nonzero outside the band"
+    cliques, _ = chordal_decomposition(inst.n, inst.sparsity_graph())
+    assert max(len(c) for c in cliques) <= 5
+    x0 = np.full(inst.n, 0.25)
+    for Qi, ci, bi in zip(inst.Qs, inst.cs, inst.bs):
+        assert 0.5 * x0 @ Qi @ x0 + ci @ x0 <= bi - 1.0
