@@ -55,12 +55,35 @@ def ensure_bounds(name: str, data_dir: str, lp_cfg=None, max_rounds: int = 120):
 def instance_gap_closed(name: str, cfg: RunConfig, data_dir: str,
                         rounds: int | None = None, logger: JSONLLogger | None = None,
                         sdp_max_rounds: int = 120):
-    """Run one (instance, strategy); returns dict with per-round gap closed."""
-    inst = load_or_generate(name, data_dir=data_dir)
-    mc, sdp = ensure_bounds(name, data_dir, cfg.lp, sdp_max_rounds)
+    """Run one (instance, strategy); returns dict with per-round gap closed.
+
+    Accepts both families: spar* names run the dense BoxQP CutSolver;
+    qcqp*/qcqpband* names run CutSolverQCQP with the clique candidate table
+    and the constraint rows in the relaxation (the QCQP registry at
+    data/qcqp/bounds.json supplies the gap denominators)."""
     t0 = time.perf_counter()
-    solver = CutSolver(inst, cfg)
-    hist = solver.run(rounds)
+    if name.startswith("qcqp"):
+        from ..instances.qcqp import load_or_generate_qcqp
+        from ..qcqp.solver import CutSolverQCQP
+
+        inst = load_or_generate_qcqp(name)
+        qdir = os.path.join(os.path.dirname(data_dir.rstrip("/")), "qcqp") \
+            if "qcqp" not in data_dir else data_dir
+        reg_path = os.path.join(qdir, "bounds.json")
+        reg = (json.load(open(reg_path))
+               if os.path.exists(reg_path) else {})
+        if name not in reg:
+            sdp, mc, _ = sdp_relaxation_bound(inst, cfg.lp,
+                                              max_rounds=sdp_max_rounds)
+        else:
+            mc, sdp = reg[name]["mccormick"], reg[name]["sdp"]
+        solver = CutSolverQCQP(inst, cfg)
+        hist = solver.run(rounds)
+    else:
+        inst = load_or_generate(name, data_dir=data_dir)
+        mc, sdp = ensure_bounds(name, data_dir, cfg.lp, sdp_max_rounds)
+        solver = CutSolver(inst, cfg)
+        hist = solver.run(rounds)
     gaps = gap_closed(mc, sdp, [h.bound for h in hist])
     rec = {
         "instance": name,
