@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--polish-iters", type=int, default=60000)
     ap.add_argument("--out", default="results/qcqp_parity.jsonl")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cooldown", type=int, default=0,
+                    help="CutConfig.sel_cooldown for the TPU side")
+    ap.add_argument("--steer-eps", type=float, default=0.0,
+                    help="vertex steering for the TPU scoring point "
+                         "(LoopConfig.steer_eps; see qcqp/solver.py)")
     ap.add_argument("--diversity-alpha", type=float, default=0.0,
                     help="support-diverse selection penalty (ops/topk.py "
                          "diverse_topk) — breaks feasibility-score ties "
@@ -107,10 +112,12 @@ def main():
                 lp=LPConfig(max_iters=args.lp_max_iters, tol=2e-6),
                 cuts=CutConfig(k=args.k, sel_size=args.sel_size,
                                capacity=1024, purge=False,
+                               sel_cooldown=args.cooldown,
                                diversity_alpha=args.diversity_alpha),
                 scorer=ScorerConfig(strategy=strat),
                 loop=LoopConfig(rounds=args.rounds,
-                                polish_iters=args.polish_iters),
+                                polish_iters=args.polish_iters,
+                                steer_eps=args.steer_eps),
             )
             t0 = time.perf_counter()
             out = CutSolverQCQP(inst, cfg).run(args.rounds)
@@ -136,6 +143,8 @@ def main():
                 "tpu_diversity_alpha": args.diversity_alpha,
                 "tpu_backend": jax.default_backend(),
                 "tpu_polish_iters": args.polish_iters,
+                "tpu_steer_eps": args.steer_eps,
+                "tpu_sel_cooldown": args.cooldown,
                 "ts": time.time(),
             }
             os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -59,6 +59,14 @@ class CutConfig:
                                      # for k=3, n<=128, fused-able strategies;
                                      # "on" forces it (jnp path off-TPU);
                                      # "off" keeps the generic table path
+    sel_cooldown: int = 2            # >0 (sparse path): a selected candidate
+                                     # is masked from selection for this many
+                                     # following rounds.  PDHG re-solves are
+                                     # inexact, so last round's selections
+                                     # can still read as violated and an
+                                     # unmasked ranking re-picks them —
+                                     # duplicate cuts pile up while the bound
+                                     # plateaus (qcqp/solver.py do_round).
     diversity_alpha: float = 1e-4    # >0: greedy support-diverse selection
                                      # (ops/topk.py diverse_topk) — penalize
                                      # candidates whose indices were already

@@ -71,7 +71,9 @@ def _select_and_generate(x, X, table, scores, sel_size: int, viol_tol: float,
     idx_sel = table[sel]                       # (S, k)
     Z = assemble_Z(x, X, idx_sel)              # (S, k+1, k+1)
     w, V = batched_eigh_small(Z)
-    return cuts_from_selected(idx_sel, w, V, viol_tol, sel_valid=valid)
+    rows = cuts_from_selected(idx_sel, w, V, viol_tol, sel_valid=valid)
+    # sel: selected table positions (S,); valid: selection-level mask (S,)
+    return rows + (sel, valid)
 
 
 @jax.jit
@@ -310,7 +312,7 @@ class CutSolver(CheckpointableSolver):
             )
         else:
             scores = self._score_fn(x, X, key, consts)
-            idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
+            idx_r, lin_r, quad_r, rhs_r, valid_r, _sel, _selv = _select_and_generate(
                 x, X, consts["table"], scores, cfg.cuts.sel_size,
                 cfg.cuts.viol_tol, cfg.cuts.diversity_alpha,
             )

@@ -72,6 +72,10 @@ class CutSolverQCQP(CheckpointableSolver):
         self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
         self.state: PDHGState = init_state(n, cfg.cuts.capacity, inst.m, dtype)
         self.key = jax.random.PRNGKey(cfg.seed)
+        # cross-round selection cooldown (CutConfig.sel_cooldown; see
+        # do_round) — rounds remaining before a selected candidate may be
+        # re-selected
+        self._cooldown = jnp.zeros((self.table.shape[0],), jnp.int32)
         self.history: list[RoundStats] = []
         self._score_fn = score_fn or self._default_score_fn()
         if cfg.debug:
@@ -170,6 +174,21 @@ class CutSolverQCQP(CheckpointableSolver):
 
         x, X = self.state.x, self.state.X
         self.key, sub = jax.random.split(self.key)
+        if cfg.loop.steer_eps > 0.0:
+            # vertex steering for the SCORING point only (see
+            # lp/pdhg.steer_to_vertex): a simplex backend scores at a vertex
+            # of the optimal face; PDHG's interior-face point spreads clique
+            # violations differently, which on the SMALL clique tables of
+            # the sparse path can plateau the bound while the replica's
+            # vertex-hopping grinds on (observed qcqp030-25-6-1, round 4).
+            # The certified bound above stays the unperturbed one.
+            from ..lp.pdhg import steer_to_vertex
+
+            self.key, skey = jax.random.split(self.key)
+            x, X = steer_to_vertex(
+                self.Q, self.c, self.pool, self.state, cfg.lp, skey,
+                cfg.loop.steer_eps, cfg.loop.steer_iters, dense=self.dense,
+            )
         if cfg.scorer.strategy == "triangle":
             from ..cuts.triangle import triangle_select_and_generate
 
@@ -179,10 +198,24 @@ class CutSolverQCQP(CheckpointableSolver):
             )
         else:
             scores = self._score_fn(x, X, sub)
-            idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
+            if cfg.cuts.sel_cooldown > 0:
+                # cross-round cooldown (sparse-path PDHG artifact): an
+                # under-converged re-solve leaves last round's selections
+                # still "violated", so an unmasked ranking re-picks them and
+                # fills the pool with duplicates while the bound plateaus
+                # (observed qcqp030-25-6-1: 208 cuts, 55 unique supports).
+                # A simplex replica never needs this — its exact re-solve
+                # kills selected violations in one round.
+                scores = jnp.where(self._cooldown > 0, -jnp.inf, scores)
+            (idx_r, lin_r, quad_r, rhs_r, valid_r, sel_r,
+             selv_r) = _select_and_generate(
                 x, X, self.table, scores, cfg.cuts.sel_size,
                 cfg.cuts.viol_tol, cfg.cuts.diversity_alpha,
             )
+            if cfg.cuts.sel_cooldown > 0:
+                cd = jnp.maximum(self._cooldown - 1, 0)
+                self._cooldown = cd.at[sel_r].set(
+                    jnp.where(selv_r, cfg.cuts.sel_cooldown, cd[sel_r]))
 
         if cfg.cuts.purge:
             slack = cut_residuals(x, X, self.pool)
@@ -218,16 +251,17 @@ class CutSolverQCQP(CheckpointableSolver):
         ONE dispatch.  Stacks each round's solve-time pool + full dual set
         (incl. yD for the dense rows) so the host recertifies every bound in
         f64 afterwards, exactly like loop/solver.CutSolver._scan_impl."""
-        from ..lp.pdhg import _solve_impl, estimate_norm
+        from ..lp.pdhg import _solve_impl, _steer_impl, estimate_norm
 
         lp = self.cfg.lp
+        lc = self.cfg.loop
         cfg = self.cfg
         n = c.shape[0]
         cx, cX = -c, -0.5 * Q
         dense = self.dense
 
         def body(carry, _):
-            pool, st, key = carry
+            pool, st, key, cooldown = carry
             normK = estimate_norm(pool, n, lp.power_iters, cx.dtype,
                                   dense=dense)
             st, info = _solve_impl(
@@ -237,6 +271,13 @@ class CutSolverQCQP(CheckpointableSolver):
             )
             key, sub = jax.random.split(key)
             x, X = st.x, st.X
+            if lc.steer_eps > 0.0:
+                key, skey = jax.random.split(key)
+                x, X = _steer_impl(
+                    cx, cX, pool, dense, st, normK,
+                    jnp.asarray(lp.omega0, cx.dtype), lp.step_scale,
+                    jnp.asarray(lc.steer_eps, cx.dtype), skey,
+                    lc.steer_iters)
             if cfg.scorer.strategy == "triangle":
                 from ..cuts.triangle import triangle_select_and_generate
 
@@ -246,10 +287,17 @@ class CutSolverQCQP(CheckpointableSolver):
                         cfg.cuts.viol_tol, table_mask=self.table_valid))
             else:
                 scores = self._score_fn(x, X, sub)
-                idx_r, lin_r, quad_r, rhs_r, valid_r = _select_and_generate(
+                if cfg.cuts.sel_cooldown > 0:
+                    scores = jnp.where(cooldown > 0, -jnp.inf, scores)
+                (idx_r, lin_r, quad_r, rhs_r, valid_r, sel_r,
+                 selv_r) = _select_and_generate(
                     x, X, self.table, scores, cfg.cuts.sel_size,
                     cfg.cuts.viol_tol, cfg.cuts.diversity_alpha,
                 )
+                if cfg.cuts.sel_cooldown > 0:
+                    cd = jnp.maximum(cooldown - 1, 0)
+                    cooldown = cd.at[sel_r].set(
+                        jnp.where(selv_r, cfg.cuts.sel_cooldown, cd[sel_r]))
             solve_pool, yC = pool, st.yC   # round-r certificate pairs these
             if cfg.cuts.purge:
                 slack = cut_residuals(x, X, pool)
@@ -259,9 +307,12 @@ class CutSolverQCQP(CheckpointableSolver):
             new_pool = append_cuts(pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
             out = (solve_pool, (st.yA, st.yB, st.yC, st.yD),
                    info["iters"], info["kkt_error"], kept, new_pool.count)
-            return (new_pool, st._replace(yC=yC), key), out
+            return (new_pool, st._replace(yC=yC), key, cooldown), out
 
-        return jax.lax.scan(body, (pool, st, key), None, length=rounds)
+        cd0 = self._cooldown
+        (pool, st, key, cd), outs = jax.lax.scan(
+            body, (pool, st, key, cd0), None, length=rounds)
+        return (pool, st, key, cd), outs
 
     def run_scan(self, rounds: Optional[int] = None) -> list[RoundStats]:
         """All rounds in one jit dispatch; certified f64 bounds recomputed
@@ -273,9 +324,10 @@ class CutSolverQCQP(CheckpointableSolver):
         if not hasattr(self, "_scan_jit"):
             self._scan_jit = jax.jit(self._scan_impl,
                                      static_argnames=("rounds",))
-        (self.pool, self.state, self.key), outs = jax.block_until_ready(
-            self._scan_jit(self.Q, self.c, self.pool, self.state, self.key,
-                           rounds=rounds))
+        (self.pool, self.state, self.key, self._cooldown), outs = \
+            jax.block_until_ready(
+                self._scan_jit(self.Q, self.c, self.pool, self.state,
+                               self.key, rounds=rounds))
         total = time.perf_counter() - t0
 
         pools, duals, iters, kkt, kept, count = outs
