@@ -67,6 +67,11 @@ class CutConfig:
                                      # unmasked ranking re-picks them —
                                      # duplicate cuts pile up while the bound
                                      # plateaus (qcqp/solver.py do_round).
+    cooldown_kkt_tol: float = 1e-3   # the cooldown mask only applies while
+                                     # the solve's KKT error exceeds this —
+                                     # once the LP re-solve is converged,
+                                     # re-selection is productive (new LP
+                                     # point), exactly like the replica's
     diversity_alpha: float = 1e-4    # >0: greedy support-diverse selection
                                      # (ops/topk.py diverse_topk) — penalize
                                      # candidates whose indices were already

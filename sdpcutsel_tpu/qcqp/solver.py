@@ -205,8 +205,12 @@ class CutSolverQCQP(CheckpointableSolver):
                 # fills the pool with duplicates while the bound plateaus
                 # (observed qcqp030-25-6-1: 208 cuts, 55 unique supports).
                 # A simplex replica never needs this — its exact re-solve
-                # kills selected violations in one round.
-                scores = jnp.where(self._cooldown > 0, -jnp.inf, scores)
+                # kills selected violations in one round — so the mask only
+                # applies while the solve is under-converged (KKT gate):
+                # with a converged point, re-selection is productive.
+                lag = info["kkt_error"] > cfg.cuts.cooldown_kkt_tol
+                scores = jnp.where((self._cooldown > 0) & lag,
+                                   -jnp.inf, scores)
             (idx_r, lin_r, quad_r, rhs_r, valid_r, sel_r,
              selv_r) = _select_and_generate(
                 x, X, self.table, scores, cfg.cuts.sel_size,
@@ -288,7 +292,9 @@ class CutSolverQCQP(CheckpointableSolver):
             else:
                 scores = self._score_fn(x, X, sub)
                 if cfg.cuts.sel_cooldown > 0:
-                    scores = jnp.where(cooldown > 0, -jnp.inf, scores)
+                    lag = info["kkt_error"] > cfg.cuts.cooldown_kkt_tol
+                    scores = jnp.where((cooldown > 0) & lag,
+                                       -jnp.inf, scores)
                 (idx_r, lin_r, quad_r, rhs_r, valid_r, sel_r,
                  selv_r) = _select_and_generate(
                     x, X, self.table, scores, cfg.cuts.sel_size,
