@@ -50,18 +50,27 @@ def diverse_topk(scores, table, k: int, n: int, alpha: float, mask=None):
     C = scores.shape[0]
     iota = jnp.arange(C)
 
+    # Per-candidate penalty is maintained INCREMENTALLY: the original
+    # formulation re-gathered counts[table].sum(1) — a (C, k) gather per
+    # greedy step, which serializes on TPU and cost ~1.3 s/round at n=125
+    # inside the scan (round-4 bench regression).  Picking candidate i adds
+    # 1 to each of its indices' counts, so every other candidate's penalty
+    # grows by its number of index matches with table[i] — a vectorized
+    # (C, k, k) compare, no gather.  Identical math incl. duplicate-index
+    # padding rows (both sides count per occurrence).
     def body(carry, _):
-        sc, counts = carry
-        pen = counts[table].sum(1).astype(sc.dtype)
-        # -inf - finite = -inf, so masked/used entries stay unselectable
+        sc, pen = carry
         eff = sc - jnp.asarray(alpha, sc.dtype) * pen
         i = jnp.argmax(eff)
         val = sc[i]
         picked_real = jnp.isfinite(val)
-        counts = jnp.where(picked_real, counts.at[table[i]].add(1), counts)
+        idx_i = table[i]                               # (k,) single-row gather
+        add = (table[:, :, None] == idx_i[None, None, :]).sum(
+            (1, 2)).astype(sc.dtype)
+        pen = jnp.where(picked_real, pen + add, pen)
         sc = jnp.where(iota == i, neg, sc)
-        return (sc, counts), (val, i)
+        return (sc, pen), (val, i)
 
     (_, _), (vals, sel) = jax.lax.scan(
-        body, (scores, jnp.zeros((n,), jnp.int32)), None, length=k)
+        body, (scores, jnp.zeros((C,), scores.dtype)), None, length=k)
     return vals, sel, jnp.isfinite(vals)
