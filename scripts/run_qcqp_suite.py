@@ -47,13 +47,13 @@ def main():
         CutConfig, LPConfig, LoopConfig, RunConfig, ScorerConfig,
     )
     from sdpcutsel_tpu.instances.qcqp import generate_qcqp
-    from sdpcutsel_tpu.loop.sdp_bound import gap_closed, sdp_relaxation_bound
+    from sdpcutsel_tpu.loop.sdp_bound import gap_closed
     from sdpcutsel_tpu.qcqp.solver import CutSolverQCQP
     from sdpcutsel_tpu.utils.logging import JSONLLogger
+    from sdpcutsel_tpu.utils.registry import ensure_certified_bounds
 
     os.makedirs(args.data_dir, exist_ok=True)
     reg_path = os.path.join(args.data_dir, "bounds.json")
-    reg = json.load(open(reg_path)) if os.path.exists(reg_path) else {}
 
     done = set()
     if os.path.exists(args.out):
@@ -75,13 +75,11 @@ def main():
         else:
             n, d, m, seed = (int(v) for v in spec.split("-"))
             inst = generate_qcqp(n, d, m, seed)
-        if inst.name not in reg:
-            sdp, mc, _ = sdp_relaxation_bound(
-                inst, None, max_rounds=args.sdp_max_rounds)
-            reg[inst.name] = {"mccormick": mc, "sdp": sdp}
-            with open(reg_path, "w") as f:
-                json.dump(reg, f, indent=1, sort_keys=True)
-        mc, sdp = reg[inst.name]["mccormick"], reg[inst.name]["sdp"]
+        # Registry miss -> certified sandwich with the validated settings,
+        # persisted with sdp_rel_width (ADVICE r4 #1: the old fallback ran a
+        # loose, never-saved eigencut stall that inflated gap-closed).
+        mc, sdp = ensure_certified_bounds(
+            inst, reg_path, None, max_rounds=args.sdp_max_rounds)
         for k in (int(v) for v in args.ks.split(",")):
             for strat in args.strategies.split(","):
                 if (inst.name, strat, k) in done:

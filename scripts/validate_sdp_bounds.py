@@ -23,36 +23,17 @@ Usage:
 """
 
 import argparse
-import fcntl
 import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def update_registry(reg_path, name, fresh):
-    """Locked read-merge-write: exclusive flock on a sidecar lock file,
-    re-read under the lock, merge only the freshly computed keys, publish
-    via os.replace (crash-safe, concurrent-run-safe)."""
-    with open(reg_path + ".lock", "w") as lock_f:
-        fcntl.flock(lock_f, fcntl.LOCK_EX)
-        with open(reg_path) as f:
-            merged = json.load(f)
-        merged[name] = {**merged.get(name, {}), **fresh}
-        fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(os.path.abspath(reg_path)), suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as tf:
-                json.dump(merged, tf, indent=1, sort_keys=True)
-            os.replace(tmp, reg_path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
-    return merged
+# Locked read-merge-write lives in the package now (ADVICE r4 #2: the old
+# in-script version crashed on a first-ever entry when bounds.json did not
+# exist yet); re-exported here for validate_qcqp_bounds.py and older callers.
+from sdpcutsel_tpu.utils.registry import update_registry  # noqa: E402,F401
 
 
 def main():

@@ -12,7 +12,6 @@ the TPU-native replacement for the reference's shipped known-optima files.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -21,35 +20,26 @@ import numpy as np
 
 from ..config import RunConfig
 from ..instances.boxqp import load_or_generate
-from ..loop.sdp_bound import gap_closed, sdp_relaxation_bound
+from ..loop.sdp_bound import gap_closed
 from ..loop.solver import CutSolver
 from ..utils.logging import JSONLLogger
 
 
 def bounds_registry(path: str):
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
-    return {}
+    from ..utils.registry import load_registry
+
+    return load_registry(path)
 
 
-def _save_registry(reg: dict, path: str):
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(reg, f, indent=1, sort_keys=True)
+def ensure_bounds(name: str, data_dir: str, lp_cfg=None, max_rounds: int = 150):
+    """Get (mccormick_bound, sdp_bound) for an instance.  On a registry miss
+    the sandwich is CERTIFIED with the validated settings and persisted
+    (ADVICE r4: the old fallback ran a loose, never-saved eigencut stall)."""
+    from ..utils.registry import ensure_certified_bounds
 
-
-def ensure_bounds(name: str, data_dir: str, lp_cfg=None, max_rounds: int = 120):
-    """Get (mccormick_bound, sdp_bound) for an instance, computing+caching."""
-    reg_path = os.path.join(data_dir, "bounds.json")
-    reg = bounds_registry(reg_path)
-    if name in reg:
-        return reg[name]["mccormick"], reg[name]["sdp"]
     inst = load_or_generate(name, data_dir=data_dir)
-    sdp, mc, _ = sdp_relaxation_bound(inst, lp_cfg, max_rounds=max_rounds)
-    reg[name] = {"mccormick": mc, "sdp": sdp}
-    _save_registry(reg, reg_path)
-    return mc, sdp
+    return ensure_certified_bounds(
+        inst, os.path.join(data_dir, "bounds.json"), lp_cfg, max_rounds)
 
 
 def instance_gap_closed(name: str, cfg: RunConfig, data_dir: str,
@@ -66,17 +56,13 @@ def instance_gap_closed(name: str, cfg: RunConfig, data_dir: str,
         from ..instances.qcqp import load_or_generate_qcqp
         from ..qcqp.solver import CutSolverQCQP
 
+        from ..utils.registry import ensure_certified_bounds
+
         inst = load_or_generate_qcqp(name)
         qdir = os.path.join(os.path.dirname(data_dir.rstrip("/")), "qcqp") \
             if "qcqp" not in data_dir else data_dir
-        reg_path = os.path.join(qdir, "bounds.json")
-        reg = (json.load(open(reg_path))
-               if os.path.exists(reg_path) else {})
-        if name not in reg:
-            sdp, mc, _ = sdp_relaxation_bound(inst, cfg.lp,
-                                              max_rounds=sdp_max_rounds)
-        else:
-            mc, sdp = reg[name]["mccormick"], reg[name]["sdp"]
+        mc, sdp = ensure_certified_bounds(
+            inst, os.path.join(qdir, "bounds.json"), cfg.lp, sdp_max_rounds)
         solver = CutSolverQCQP(inst, cfg)
         hist = solver.run(rounds)
     else:

@@ -203,7 +203,11 @@ def sdp_relaxation_bound(
                     break
                 beta *= 0.5
             else:
-                # even the (near-)LP point separates nothing: converged
+                # even the (near-)LP point separates nothing: converged.
+                # Reset beta — 8 halvings left it ~0.004, and with only
+                # x1.3/round recovery one such round would degrade in-out
+                # to plain eigencut for ~20 rounds (ADVICE r4 #4).
+                beta = 0.5
                 dense, count, lam_min = _gen_dense_cuts(
                     state.x, state.X, dense, count, eig_tol, m_max)
         else:

@@ -92,6 +92,10 @@ def bm_feasible_point(
         M = 0.05 * np.eye(n)
     else:
         x = np.clip(np.asarray(x0, np.float64), 0.0, 1.0)
+        if X0 is None:
+            # x0 without X0 is a legal warm start (ADVICE r4 #5): factor a
+            # slightly-interior lift around the given point
+            X0 = np.outer(x, x) + 0.05 * np.eye(n)
         M = np.asarray(X0, np.float64) - np.outer(x, x)
         M = 0.5 * (M + M.T)
     w, V = np.linalg.eigh(M)

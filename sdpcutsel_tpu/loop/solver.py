@@ -102,13 +102,22 @@ class CheckpointableSolver:
         if len(self.history) % self.cfg.loop.checkpoint_every == 0:
             self.checkpoint(path)
 
+    def _extra_meta(self) -> dict:
+        """Subclass hook: extra JSON-serializable state to snapshot (the
+        QCQP solver stores its selection-cooldown vector here)."""
+        return {}
+
+    def _restore_extra(self, meta: dict):
+        pass
+
     def checkpoint(self, path: str):
         from ..utils.checkpoint import save_checkpoint
 
         save_checkpoint(
             path, self.pool, self.state, self.key,
             [dataclasses.asdict(h) for h in self.history],
-            {"instance": self.inst.name, "strategy": self.cfg.scorer.strategy},
+            {"instance": self.inst.name, "strategy": self.cfg.scorer.strategy,
+             **self._extra_meta()},
         )
 
     def restore(self, path: str):
@@ -127,6 +136,7 @@ class CheckpointableSolver:
         self.state = PDHGState(**{f: jnp.asarray(v) for f, v in sd.items()})
         self.key = jnp.asarray(key)
         self.history = [RoundStats(**h) for h in hist]
+        self._restore_extra(meta)
         return self
 
 

@@ -83,6 +83,19 @@ class CutSolverQCQP(CheckpointableSolver):
 
             enable_debug_mode()
 
+    def _extra_meta(self) -> dict:
+        """Cross-round selection cooldown rides the snapshot metadata
+        (ADVICE r4 #3: resuming without it silently reset cooldowns and
+        diverged from a continuous run at the default sel_cooldown=2)."""
+        import numpy as np
+
+        return {"cooldown": np.asarray(self._cooldown).tolist()}
+
+    def _restore_extra(self, meta: dict):
+        cd = meta.get("cooldown")
+        if cd is not None and len(cd) == self.table.shape[0]:
+            self._cooldown = jnp.asarray(cd, jnp.int32)
+
     def _default_score_fn(self) -> Callable:
         strat = self.cfg.scorer.strategy
         neg = jnp.asarray(-jnp.inf, self.dtype)

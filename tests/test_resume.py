@@ -71,6 +71,29 @@ def test_qcqp_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(b_bounds, ref_bounds, rtol=1e-5)
 
 
+def test_qcqp_resume_preserves_cooldown(tmp_path):
+    """ADVICE r4 #3: the cross-round selection cooldown must survive a
+    checkpoint-resume, or the resumed run silently diverges from a
+    continuous one at the default sel_cooldown."""
+    from sdpcutsel_tpu.instances.qcqp import generate_qcqp
+    from sdpcutsel_tpu.qcqp.solver import CutSolverQCQP
+
+    inst = generate_qcqp(12, 40, 2, 1)
+    cfg = RunConfig(
+        lp=LPConfig(max_iters=4000, tol=2e-6),
+        cuts=CutConfig(k=3, sel_size=6, capacity=128, sel_cooldown=3),
+        scorer=ScorerConfig(strategy="feasibility"),
+        loop=LoopConfig(rounds=3, checkpoint_every=1,
+                        checkpoint_dir=str(tmp_path)),
+    )
+    a = CutSolverQCQP(inst, cfg)
+    a.run(rounds=3)
+    cd = np.asarray(a._cooldown)
+    assert cd.max() > 0, "test needs a non-trivial cooldown state"
+    b = CutSolverQCQP(inst, cfg).restore(a._checkpoint_path())
+    np.testing.assert_array_equal(np.asarray(b._cooldown), cd)
+
+
 def test_restore_rejects_wrong_instance(tmp_path):
     import pytest
 
