@@ -45,6 +45,12 @@ def main():
                     help="support-diverse selection penalty for --tpu-rerun "
                          "(ops/topk.py diverse_topk; fixes top_k tie "
                          "clustering on tie-heavy strategies)")
+    ap.add_argument("--replica-diversity-alpha", type=float, default=0.0,
+                    help="give the REPLICA the same support-diverse "
+                         "tie-breaking as the TPU side (baseline/"
+                         "cpu_reference._diverse_select) — produces a "
+                         "like-for-like feasibility row instead of counting "
+                         "tie-clustering divergence (VERDICT r4 #7)")
     ap.add_argument("--no-purge", action="store_true",
                     help="disable slack-cut purging in the --tpu-rerun solve "
                          "(matches the replica, which never purges)")
@@ -98,13 +104,15 @@ def main():
                     done.add((r["instance"], r["strategy"],
                               r.get("k", 3),
                               bool(r.get("tpu_rerun", False)),
-                              float(r.get("tpu_diversity_alpha", 0.0))))
+                              float(r.get("tpu_diversity_alpha", 0.0)),
+                              float(r.get("cpu_diversity_alpha", 0.0))))
                 except (json.JSONDecodeError, KeyError):
                     continue
 
     for name in args.instances.split(","):
         if (name, args.strategy, args.k, args.tpu_rerun,
-                args.diversity_alpha if args.tpu_rerun else 0.0) in done \
+                args.diversity_alpha if args.tpu_rerun else 0.0,
+                args.replica_diversity_alpha) in done \
                 and not args.redo:
             print(f"[parity] {name}: already done", flush=True)
             continue
@@ -183,6 +191,7 @@ def main():
         hist, _ = cpu_cut_select(
             inst, k=args.k, sel_size=args.sel_size, rounds=args.rounds,
             strategy=replica_strategy, score_fn=score_fn,
+            diversity_alpha=args.replica_diversity_alpha,
         )
         wall = time.perf_counter() - t0
         from sdpcutsel_tpu.loop.sdp_bound import gap_closed
@@ -209,6 +218,7 @@ def main():
                 if tpu_final is not None and cpu_final > 0 else None
             ),
             "cpu_wall_time_s": wall,
+            "cpu_diversity_alpha": args.replica_diversity_alpha,
             "ts": time.time(),
         }
         if tpu_rec is not None:

@@ -59,6 +59,28 @@ def _mccormick_rows(n, T):
     return rows, cols, vals, rhs
 
 
+def _diverse_select(scores, table, sel_size: int, alpha: float, n: int):
+    """Greedy support-diverse selection — numpy twin of ops/topk.diverse_topk
+    (identical math: pick argmax(score - alpha * occurrence-count penalty),
+    update per-index counts, repeat; first-max tie-breaking like argmax on
+    both stacks).  Ported to the replica so feasibility parity can be
+    measured like-for-like (VERDICT r4 next #7: the TPU's tie-breaking is a
+    selection-rule choice, not TPU-specific machinery — the replica gets the
+    same host-side rule and the 'divergent' cells collapse to real parity)."""
+    sc = scores.astype(np.float64).copy()
+    counts = np.zeros(n)
+    sel = []
+    for _ in range(sel_size):
+        eff = sc - alpha * counts[table].sum(1)
+        i = int(np.argmax(eff))
+        if not np.isfinite(sc[i]):
+            break
+        sel.append(i)
+        np.add.at(counts, table[i], 1.0)
+        sc[i] = -np.inf
+    return np.asarray(sel, np.int64)
+
+
 def cpu_cut_select(
     inst: BoxQPInstance,
     k: int = 3,
@@ -68,6 +90,7 @@ def cpu_cut_select(
     viol_tol: float = 1e-4,
     rng_seed: int = 0,
     score_fn=None,
+    diversity_alpha: float = 0.0,
 ):
     """Run the reference loop; returns (list[CPURoundStats], candidates/sec
     measured over feasibility scoring passes)."""
@@ -174,7 +197,11 @@ def cpu_cut_select(
                 break
             continue
 
-        sel = np.argsort(-scores)[:sel_size]
+        if diversity_alpha > 0.0:
+            sel = _diverse_select(scores, table, sel_size,
+                                  diversity_alpha, n)
+        else:
+            sel = np.argsort(-scores)[:sel_size]
 
         # ---- generate cuts from selected (eigh only on selected) ----
         added = 0

@@ -34,3 +34,29 @@ def test_unknown_strategy_raises():
     cfg = RunConfig(scorer=ScorerConfig(strategy="nope"))
     with pytest.raises(ValueError, match="unknown strategy"):
         CutSolver(inst, cfg)
+
+
+def test_replica_diverse_select_matches_tpu_diverse_topk():
+    """baseline/cpu_reference._diverse_select is the numpy twin of
+    ops/topk.diverse_topk (VERDICT r4 #7): same scores + table -> same
+    selected candidates in the same order."""
+    import numpy as np
+
+    from sdpcutsel_tpu.baseline.cpu_reference import _diverse_select
+    from sdpcutsel_tpu.cuts.enumerate import combinations_table
+    from sdpcutsel_tpu.ops.topk import diverse_topk
+
+    rng = np.random.default_rng(3)
+    n, k, sel = 14, 3, 10
+    table = combinations_table(n, k)
+    # tie-heavy scores (quantized) exercise exactly the regime diversity
+    # re-orders; a small alpha only breaks (near-)ties
+    scores = np.round(rng.random(table.shape[0]) * 8) / 8.0
+    alpha = 1e-4
+    sel_cpu = _diverse_select(scores, table, sel, alpha, n)
+
+    import jax.numpy as jnp
+
+    _, sel_tpu, valid = diverse_topk(
+        jnp.asarray(scores, jnp.float32), jnp.asarray(table), sel, n, alpha)
+    np.testing.assert_array_equal(sel_cpu, np.asarray(sel_tpu)[np.asarray(valid)])
