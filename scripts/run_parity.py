@@ -51,6 +51,14 @@ def main():
                          "cpu_reference._diverse_select) — produces a "
                          "like-for-like feasibility row instead of counting "
                          "tie-clustering divergence (VERDICT r4 #7)")
+    ap.add_argument("--tpu-from-parity", action="store_true",
+                    help="instead of re-running the TPU side, pair the fresh "
+                         "replica run with the LATEST recorded rerun row in "
+                         "--out matching (instance, strategy, k, rounds, "
+                         "sel_size, diversity, purge) — the recorded number "
+                         "is a live TPU result; only the replica changes "
+                         "(used for the +replica-diverse rows, VERDICT r4 "
+                         "#7)")
     ap.add_argument("--no-purge", action="store_true",
                     help="disable slack-cut purging in the --tpu-rerun solve "
                          "(matches the replica, which never purges)")
@@ -124,7 +132,33 @@ def main():
         mc, sdp = reg[name]["mccormick"], reg[name]["sdp"]
 
         tpu_rec = None
-        if args.tpu_rerun:
+        tpu_src = None
+        if args.tpu_from_parity:
+            if os.path.exists(args.out):
+                with open(args.out) as f:
+                    for line in f:
+                        try:
+                            r = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+                        if (r.get("instance") == name
+                                and r.get("strategy") == args.strategy
+                                and r.get("k", 3) == args.k
+                                and r.get("rounds") == args.rounds
+                                and r.get("sel_size") == args.sel_size
+                                and r.get("tpu_rerun")
+                                and float(r.get("tpu_diversity_alpha", 0.0))
+                                == args.diversity_alpha
+                                and r.get("tpu_purge", True)
+                                == (not args.no_purge)
+                                and r.get("tpu_final_gap_closed")
+                                is not None):
+                            tpu_src = r            # last matching row wins
+            if tpu_src is None:
+                print(f"[parity] {name}: no recorded TPU rerun row to pair "
+                      "with, skipping", flush=True)
+                continue
+        elif args.tpu_rerun:
             import dataclasses
 
             from sdpcutsel_tpu.bench.suite import instance_gap_closed
@@ -202,6 +236,8 @@ def main():
         cpu_final = cpu_gaps[-1] if cpu_gaps else 0.0
         if tpu_rec is not None:
             tpu_final = tpu_rec["final_gap_closed"]
+        elif tpu_src is not None:
+            tpu_final = tpu_src["tpu_final_gap_closed"]
         else:
             tpu_final = tpu_cells.get(name, {}).get("final_gap_closed")
         rec = {
@@ -232,6 +268,16 @@ def main():
                 "tpu_purge": not args.no_purge,
                 "tpu_gap_closed": tpu_rec["gap_closed"],
                 "tpu_wall_time_s": tpu_rec["wall_time_s"],
+            })
+        elif tpu_src is not None:
+            rec.update({
+                "tpu_rerun": True,
+                "tpu_from_recorded_row": True,
+                "tpu_backend": tpu_src.get("tpu_backend"),
+                "tpu_diversity_alpha": args.diversity_alpha,
+                "tpu_polish_iters": tpu_src.get("tpu_polish_iters"),
+                "tpu_purge": not args.no_purge,
+                "tpu_gap_closed": tpu_src.get("tpu_gap_closed"),
             })
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
