@@ -35,8 +35,13 @@ def main():
     ap.add_argument("--polish-iters", type=int, default=60000)
     ap.add_argument("--out", default="results/qcqp_parity.jsonl")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sel-gate", default=None,
+                    help="CutConfig.sel_gate for the TPU side (default: the "
+                         "config default — 'residual'); 'cooldown' or "
+                         "'none' to compare gate mechanisms")
     ap.add_argument("--cooldown", type=int, default=0,
-                    help="CutConfig.sel_cooldown for the TPU side")
+                    help="CutConfig.sel_cooldown for the TPU side (only "
+                         "meaningful with --sel-gate cooldown)")
     ap.add_argument("--steer-eps", type=float, default=0.0,
                     help="vertex steering for the TPU scoring point "
                          "(LoopConfig.steer_eps; see qcqp/solver.py)")
@@ -113,7 +118,9 @@ def main():
                 cuts=CutConfig(k=args.k, sel_size=args.sel_size,
                                capacity=1024, purge=False,
                                sel_cooldown=args.cooldown,
-                               diversity_alpha=args.diversity_alpha),
+                               diversity_alpha=args.diversity_alpha,
+                               **({"sel_gate": args.sel_gate}
+                                  if args.sel_gate else {})),
                 scorer=ScorerConfig(strategy=strat),
                 loop=LoopConfig(rounds=args.rounds,
                                 polish_iters=args.polish_iters,
@@ -144,6 +151,7 @@ def main():
                 "tpu_backend": jax.default_backend(),
                 "tpu_polish_iters": args.polish_iters,
                 "tpu_steer_eps": args.steer_eps,
+                "tpu_sel_gate": args.sel_gate or CutConfig().sel_gate,
                 "tpu_sel_cooldown": args.cooldown,
                 "ts": time.time(),
             }

@@ -59,14 +59,29 @@ class CutConfig:
                                      # for k=3, n<=128, fused-able strategies;
                                      # "on" forces it (jnp path off-TPU);
                                      # "off" keeps the generic table path
-    sel_cooldown: int = 2            # >0 (sparse path): a selected candidate
-                                     # is masked from selection for this many
-                                     # following rounds.  PDHG re-solves are
-                                     # inexact, so last round's selections
-                                     # can still read as violated and an
-                                     # unmasked ranking re-picks them —
+    sel_gate: str = "residual"       # sparse-path re-selection gate.  PDHG
+                                     # re-solves are inexact, so last round's
+                                     # selections can still read as violated
+                                     # and an unmasked ranking re-picks them —
                                      # duplicate cuts pile up while the bound
                                      # plateaus (qcqp/solver.py do_round).
+                                     # "residual" (default): mask a candidate
+                                     # while its current violation is still
+                                     # >= gate_eta x its violation when last
+                                     # selected — i.e. the LP has not yet
+                                     # enforced its cut, so re-picking is a
+                                     # duplicate; once the violation drops
+                                     # below that fraction, what remains is a
+                                     # new eigendirection and re-selection is
+                                     # productive.  Per-candidate and
+                                     # self-timing: no per-cell knob (the
+                                     # round-counted cooldown's 0.92-vs-0.98
+                                     # k=5 sensitivity, VERDICT r4 weak #3).
+                                     # "cooldown": round-counted mask below.
+                                     # "none": no gate.
+    gate_eta: float = 0.5            # "residual" gate threshold fraction
+    sel_cooldown: int = 2            # "cooldown" gate: a selected candidate
+                                     # is masked for this many rounds
     cooldown_kkt_tol: float = 1e-3   # the cooldown mask only applies while
                                      # the solve's KKT error exceeds this —
                                      # once the LP re-solve is converged,

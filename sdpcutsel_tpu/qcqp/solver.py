@@ -72,10 +72,13 @@ class CutSolverQCQP(CheckpointableSolver):
         self.pool: CutPool = empty_pool(cfg.cuts.capacity, cfg.cuts.k, dtype)
         self.state: PDHGState = init_state(n, cfg.cuts.capacity, inst.m, dtype)
         self.key = jax.random.PRNGKey(cfg.seed)
-        # cross-round selection cooldown (CutConfig.sel_cooldown; see
-        # do_round) — rounds remaining before a selected candidate may be
-        # re-selected
+        # cross-round re-selection gate state (CutConfig.sel_gate; see
+        # do_round): "cooldown" counts rounds remaining before a selected
+        # candidate may be re-picked; "residual" remembers each candidate's
+        # violation when last selected (+inf = never selected) and re-admits
+        # it only once the LP has actually enforced its cut
         self._cooldown = jnp.zeros((self.table.shape[0],), jnp.int32)
+        self._last_viol = jnp.full((self.table.shape[0],), jnp.inf, dtype)
         self.history: list[RoundStats] = []
         self._score_fn = score_fn or self._default_score_fn()
         if cfg.debug:
@@ -84,17 +87,59 @@ class CutSolverQCQP(CheckpointableSolver):
             enable_debug_mode()
 
     def _extra_meta(self) -> dict:
-        """Cross-round selection cooldown rides the snapshot metadata
-        (ADVICE r4 #3: resuming without it silently reset cooldowns and
-        diverged from a continuous run at the default sel_cooldown=2)."""
+        """Cross-round re-selection gate state rides the snapshot metadata
+        (ADVICE r4 #3: resuming without it silently reset the gate and
+        diverged from a continuous run at the default config)."""
         import numpy as np
 
-        return {"cooldown": np.asarray(self._cooldown).tolist()}
+        return {"cooldown": np.asarray(self._cooldown).tolist(),
+                "last_viol": np.asarray(self._last_viol).tolist()}
 
     def _restore_extra(self, meta: dict):
         cd = meta.get("cooldown")
         if cd is not None and len(cd) == self.table.shape[0]:
             self._cooldown = jnp.asarray(cd, jnp.int32)
+        lv = meta.get("last_viol")
+        if lv is not None and len(lv) == self.table.shape[0]:
+            self._last_viol = jnp.asarray(lv, self.dtype)
+
+    # -- cross-round re-selection gate (CutConfig.sel_gate) -----------------
+    def _gate_scores(self, scores, x, X, kkt_error, cooldown, last_viol):
+        """Mask scores before selection.  "residual": a candidate stays
+        masked while its CURRENT violation is >= gate_eta x the violation it
+        was last selected at — the LP has not yet enforced that cut, so a
+        re-pick would duplicate it; the signal is per-candidate and
+        self-timing (no round-count knob — VERDICT r4 weak #3's 0.92/0.98
+        k=5 cooldown sensitivity).  "cooldown": round-counted mask, applied
+        only while the solve is under-converged (KKT gate).  Returns
+        (gated_scores, feas) where feas is the violation vector the residual
+        gate computed (None otherwise)."""
+        cfg = self.cfg
+        feas = None
+        if cfg.cuts.sel_gate == "residual":
+            feas = feasibility_scores_from_point(x, X, self.table)
+            blocked = feas > cfg.cuts.gate_eta * last_viol
+            scores = jnp.where(blocked, -jnp.inf, scores)
+        elif cfg.cuts.sel_gate == "cooldown" and cfg.cuts.sel_cooldown > 0:
+            lag = kkt_error > cfg.cuts.cooldown_kkt_tol
+            scores = jnp.where((cooldown > 0) & lag, -jnp.inf, scores)
+        return scores, feas
+
+    def _gate_update(self, sel_r, selv_r, feas, cooldown, last_viol):
+        """Post-selection state update for the active gate."""
+        cfg = self.cfg
+        if cfg.cuts.sel_gate == "residual":
+            # floor at viol_tol: selections are violated by > viol_tol, and
+            # the floor keeps eta*last_viol meaningfully positive
+            new = jnp.where(selv_r,
+                            jnp.maximum(feas[sel_r], cfg.cuts.viol_tol),
+                            last_viol[sel_r])
+            last_viol = last_viol.at[sel_r].set(new)
+        elif cfg.cuts.sel_gate == "cooldown" and cfg.cuts.sel_cooldown > 0:
+            cd = jnp.maximum(cooldown - 1, 0)
+            cooldown = cd.at[sel_r].set(
+                jnp.where(selv_r, cfg.cuts.sel_cooldown, cd[sel_r]))
+        return cooldown, last_viol
 
     def _default_score_fn(self) -> Callable:
         strat = self.cfg.scorer.strategy
@@ -211,28 +256,23 @@ class CutSolverQCQP(CheckpointableSolver):
             )
         else:
             scores = self._score_fn(x, X, sub)
-            if cfg.cuts.sel_cooldown > 0:
-                # cross-round cooldown (sparse-path PDHG artifact): an
-                # under-converged re-solve leaves last round's selections
-                # still "violated", so an unmasked ranking re-picks them and
-                # fills the pool with duplicates while the bound plateaus
-                # (observed qcqp030-25-6-1: 208 cuts, 55 unique supports).
-                # A simplex replica never needs this — its exact re-solve
-                # kills selected violations in one round — so the mask only
-                # applies while the solve is under-converged (KKT gate):
-                # with a converged point, re-selection is productive.
-                lag = info["kkt_error"] > cfg.cuts.cooldown_kkt_tol
-                scores = jnp.where((self._cooldown > 0) & lag,
-                                   -jnp.inf, scores)
+            # cross-round re-selection gate (sparse-path PDHG artifact): an
+            # under-converged re-solve leaves last round's selections still
+            # "violated", so an unmasked ranking re-picks them and fills the
+            # pool with duplicates while the bound plateaus (observed
+            # qcqp030-25-6-1: 208 cuts, 55 unique supports).  A simplex
+            # replica never needs this — its exact re-solve kills selected
+            # violations in one round.  See _gate_scores for the two modes.
+            scores, feas_g = self._gate_scores(
+                scores, x, X, info["kkt_error"],
+                self._cooldown, self._last_viol)
             (idx_r, lin_r, quad_r, rhs_r, valid_r, sel_r,
              selv_r) = _select_and_generate(
                 x, X, self.table, scores, cfg.cuts.sel_size,
                 cfg.cuts.viol_tol, cfg.cuts.diversity_alpha,
             )
-            if cfg.cuts.sel_cooldown > 0:
-                cd = jnp.maximum(self._cooldown - 1, 0)
-                self._cooldown = cd.at[sel_r].set(
-                    jnp.where(selv_r, cfg.cuts.sel_cooldown, cd[sel_r]))
+            self._cooldown, self._last_viol = self._gate_update(
+                sel_r, selv_r, feas_g, self._cooldown, self._last_viol)
 
         if cfg.cuts.purge:
             slack = cut_residuals(x, X, self.pool)
@@ -278,7 +318,7 @@ class CutSolverQCQP(CheckpointableSolver):
         dense = self.dense
 
         def body(carry, _):
-            pool, st, key, cooldown = carry
+            pool, st, key, cooldown, last_viol = carry
             normK = estimate_norm(pool, n, lp.power_iters, cx.dtype,
                                   dense=dense)
             st, info = _solve_impl(
@@ -304,19 +344,15 @@ class CutSolverQCQP(CheckpointableSolver):
                         cfg.cuts.viol_tol, table_mask=self.table_valid))
             else:
                 scores = self._score_fn(x, X, sub)
-                if cfg.cuts.sel_cooldown > 0:
-                    lag = info["kkt_error"] > cfg.cuts.cooldown_kkt_tol
-                    scores = jnp.where((cooldown > 0) & lag,
-                                       -jnp.inf, scores)
+                scores, feas_g = self._gate_scores(
+                    scores, x, X, info["kkt_error"], cooldown, last_viol)
                 (idx_r, lin_r, quad_r, rhs_r, valid_r, sel_r,
                  selv_r) = _select_and_generate(
                     x, X, self.table, scores, cfg.cuts.sel_size,
                     cfg.cuts.viol_tol, cfg.cuts.diversity_alpha,
                 )
-                if cfg.cuts.sel_cooldown > 0:
-                    cd = jnp.maximum(cooldown - 1, 0)
-                    cooldown = cd.at[sel_r].set(
-                        jnp.where(selv_r, cfg.cuts.sel_cooldown, cd[sel_r]))
+                cooldown, last_viol = self._gate_update(
+                    sel_r, selv_r, feas_g, cooldown, last_viol)
             solve_pool, yC = pool, st.yC   # round-r certificate pairs these
             if cfg.cuts.purge:
                 slack = cut_residuals(x, X, pool)
@@ -326,12 +362,13 @@ class CutSolverQCQP(CheckpointableSolver):
             new_pool = append_cuts(pool, idx_r, lin_r, quad_r, rhs_r, valid_r)
             out = (solve_pool, (st.yA, st.yB, st.yC, st.yD),
                    info["iters"], info["kkt_error"], kept, new_pool.count)
-            return (new_pool, st._replace(yC=yC), key, cooldown), out
+            return (new_pool, st._replace(yC=yC), key, cooldown,
+                    last_viol), out
 
-        cd0 = self._cooldown
-        (pool, st, key, cd), outs = jax.lax.scan(
-            body, (pool, st, key, cd0), None, length=rounds)
-        return (pool, st, key, cd), outs
+        (pool, st, key, cd, lv), outs = jax.lax.scan(
+            body, (pool, st, key, self._cooldown, self._last_viol),
+            None, length=rounds)
+        return (pool, st, key, cd, lv), outs
 
     def run_scan(self, rounds: Optional[int] = None) -> list[RoundStats]:
         """All rounds in one jit dispatch; certified f64 bounds recomputed
@@ -343,7 +380,8 @@ class CutSolverQCQP(CheckpointableSolver):
         if not hasattr(self, "_scan_jit"):
             self._scan_jit = jax.jit(self._scan_impl,
                                      static_argnames=("rounds",))
-        (self.pool, self.state, self.key, self._cooldown), outs = \
+        (self.pool, self.state, self.key, self._cooldown,
+         self._last_viol), outs = \
             jax.block_until_ready(
                 self._scan_jit(self.Q, self.c, self.pool, self.state,
                                self.key, rounds=rounds))

@@ -79,19 +79,31 @@ def test_qcqp_resume_preserves_cooldown(tmp_path):
     from sdpcutsel_tpu.qcqp.solver import CutSolverQCQP
 
     inst = generate_qcqp(12, 40, 2, 1)
-    cfg = RunConfig(
-        lp=LPConfig(max_iters=4000, tol=2e-6),
-        cuts=CutConfig(k=3, sel_size=6, capacity=128, sel_cooldown=3),
-        scorer=ScorerConfig(strategy="feasibility"),
-        loop=LoopConfig(rounds=3, checkpoint_every=1,
-                        checkpoint_dir=str(tmp_path)),
-    )
-    a = CutSolverQCQP(inst, cfg)
+
+    def cfg(gate):
+        return RunConfig(
+            lp=LPConfig(max_iters=4000, tol=2e-6),
+            cuts=CutConfig(k=3, sel_size=6, capacity=128, sel_gate=gate,
+                           sel_cooldown=3),
+            scorer=ScorerConfig(strategy="feasibility"),
+            loop=LoopConfig(rounds=3, checkpoint_every=1,
+                            checkpoint_dir=str(tmp_path)),
+        )
+
+    a = CutSolverQCQP(inst, cfg("cooldown"))
     a.run(rounds=3)
     cd = np.asarray(a._cooldown)
     assert cd.max() > 0, "test needs a non-trivial cooldown state"
-    b = CutSolverQCQP(inst, cfg).restore(a._checkpoint_path())
+    b = CutSolverQCQP(inst, cfg("cooldown")).restore(a._checkpoint_path())
     np.testing.assert_array_equal(np.asarray(b._cooldown), cd)
+
+    # residual gate (the default): last_viol state must survive resume too
+    a = CutSolverQCQP(inst, cfg("residual"))
+    a.run(rounds=3)
+    lv = np.asarray(a._last_viol)
+    assert np.isfinite(lv).any(), "test needs a non-trivial last_viol state"
+    b = CutSolverQCQP(inst, cfg("residual")).restore(a._checkpoint_path())
+    np.testing.assert_array_equal(np.asarray(b._last_viol), lv)
 
 
 def test_restore_rejects_wrong_instance(tmp_path):
