@@ -59,7 +59,9 @@ def main():
 
     from sdpcutsel_tpu.config import LPConfig
     from sdpcutsel_tpu.instances import load_or_generate
-    from sdpcutsel_tpu.loop.sdp_bound import sdp_relaxation_bound
+    from sdpcutsel_tpu.loop.sdp_bound import (
+        bm_null_directions, sdp_relaxation_bound,
+    )
     from sdpcutsel_tpu.loop.sdp_primal import bm_feasible_point
 
     reg_path = os.path.join(args.data_dir, "bounds.json")
@@ -90,11 +92,14 @@ def main():
         did_ub = False
 
         # --- phase B: in-out eigencut upper bound, only where needed ---
+        # (round-5 accelerated settings: BM null-space seeding, 48 cut
+        # directions per round, 2048-row buffer — see validate_sdp_bound)
         if not args.lb_only and (rel > args.rel_target or sdp < lb - tol):
             ub, _, hist = sdp_relaxation_bound(
                 inst, lp, max_rounds=args.max_rounds, anchor=(x_in, X_in),
-                max_cuts_per_round=16, purge_at=700,
-                stall_tol=5e-6, stall_rounds=12)
+                max_cuts_per_round=48, capacity=2048, purge_at=1500,
+                stall_tol=1e-5, stall_rounds=15,
+                seed_dirs=bm_null_directions(x_in, X_in))
             did_ub = True
             if sdp < lb - tol:
                 # registry value provably NOT a valid SDP upper bound (below

@@ -129,6 +129,7 @@ def sdp_relaxation_bound(
     anchor=None,
     max_cuts_per_round: int = 10**9,
     purge_at: int | None = None,
+    seed_dirs=None,
 ):
     """Returns (sdp_bound, initial_relaxation_bound, history list); with
     with_point=True additionally the final LP point (x, X) as f64 numpy —
@@ -170,6 +171,32 @@ def sdp_relaxation_bound(
             h=dense.h.at[:m].set(qrows.h),
         )
         count = jnp.asarray(m, jnp.int32)
+    if seed_dirs is not None:
+        # Pre-seed the buffer with v v' >= 0 rows for given (n+1)-vectors —
+        # round-5 acceleration: by complementary slackness the optimal SDP
+        # dual S has range inside null(Z*) of the (near-)optimal primal, so
+        # seeding the Burer-Monteiro solution's bottom eigenvectors (and
+        # their pairwise sums — rank-1 terms of one basis do not span the
+        # null space's symmetric square) lets the LP dual express the
+        # near-optimal S immediately instead of discovering it one
+        # eigendecomposition per round.  Every seeded row is a valid cut, so
+        # correctness is unchanged; only convergence speed improves.
+        Vs = np.asarray(seed_dirs, np.float64)            # (q, n+1)
+        v0s, Us = Vs[:, 0], Vs[:, 1:]
+        Gm = Us[:, :, None] * Us[:, None, :]
+        gm = 2.0 * v0s[:, None] * Us
+        hm = -(v0s ** 2)
+        nrm = np.sqrt((Gm**2).sum((1, 2)) + (gm**2).sum(1)) + 1e-30
+        q = min(Vs.shape[0], capacity - int(count) - 64)
+        dense = DenseRows(
+            G=dense.G.at[int(count):int(count) + q].set(
+                jnp.asarray((Gm / nrm[:, None, None])[:q], dtype)),
+            g=dense.g.at[int(count):int(count) + q].set(
+                jnp.asarray((gm / nrm[:, None])[:q], dtype)),
+            h=dense.h.at[int(count):int(count) + q].set(
+                jnp.asarray((hm / nrm)[:q], dtype)),
+        )
+        count = count + jnp.asarray(q, jnp.int32)
     state = init_state(n, 1, capacity, dtype)
 
     if anchor is not None:
@@ -216,10 +243,13 @@ def sdp_relaxation_bound(
             )
         lam_min = float(lam_min)
         history.append({"round": r, "bound": bound, "lam_min": lam_min,
-                        "cuts": int(count)})
+                        "cuts": int(count), "lp_iters": int(info["iters"]),
+                        "lp_kkt": float(info["kkt_error"])})
         if verbose:
             print(f"[sdp_bound] round {r}: bound={bound:.6f} "
-                  f"lam_min={lam_min:.2e} cuts={int(count)}")
+                  f"lam_min={lam_min:.2e} cuts={int(count)} "
+                  f"lp_iters={int(info['iters'])} "
+                  f"kkt={float(info['kkt_error']):.2e}", flush=True)
         if lam_min >= -eig_tol:
             break
         # Each round's bound is an INDEPENDENTLY certified upper bound
@@ -237,6 +267,32 @@ def sdp_relaxation_bound(
         point = (np.asarray(state.x, np.float64), np.asarray(state.X, np.float64))
         return best, bound0, history, point
     return best, bound0, history
+
+
+def bm_null_directions(x, X, max_dirs: int = 320, tol_frac: float = 0.02):
+    """Seed directions for ``sdp_relaxation_bound(seed_dirs=...)`` from a
+    near-optimal primal point: the bottom eigenvectors of Z(x, X) (the
+    optimal dual S's range, by complementary slackness) plus their pairwise
+    sums/differences — the rank-1 matrices of one eigenbasis alone do not
+    span the symmetric square of the null space."""
+    n = x.shape[0]
+    Z = np.empty((n + 1, n + 1))
+    Z[0, 0] = 1.0
+    Z[0, 1:] = x
+    Z[1:, 0] = x
+    Z[1:, 1:] = X
+    w, V = np.linalg.eigh(Z)
+    thresh = tol_frac * max(w[-1], 1e-12)
+    q = int(np.sum(w < thresh))
+    q = max(q, 2)
+    base = V[:, :q].T                                  # (q, n+1)
+    dirs = [base]
+    for i in range(q):
+        for j in range(i + 1, q):
+            dirs.append((base[i] + base[j])[None, :] / np.sqrt(2.0))
+            dirs.append((base[i] - base[j])[None, :] / np.sqrt(2.0))
+    out = np.concatenate(dirs, axis=0)
+    return out[:max_dirs]
 
 
 def sdp_lower_bound(Q, c, x, X, gamma: float = 0.2,
@@ -419,10 +475,15 @@ def validate_sdp_bound(inst, lp_cfg: LPConfig | None = None,
                                            anchor=anchor0)
     else:
         x_in, X_in, lb = bm_feasible_point(inst.Q, inst.c)
-    kw.setdefault("max_cuts_per_round", 16)
-    kw.setdefault("purge_at", 700)
-    kw.setdefault("stall_tol", 5e-6)
-    kw.setdefault("stall_rounds", 12)
+    # Round-5 accelerated defaults (VERDICT r4 next #1): seed the buffer
+    # with the BM solution's null-space directions, take more eigencut
+    # directions per round into a larger buffer.
+    kw.setdefault("max_cuts_per_round", 48)
+    kw.setdefault("capacity", 2048)
+    kw.setdefault("purge_at", 1500)
+    kw.setdefault("stall_tol", 1e-5)
+    kw.setdefault("stall_rounds", 15)
+    kw.setdefault("seed_dirs", bm_null_directions(x_in, X_in))
     ub, _, _ = sdp_relaxation_bound(
         inst, lp_cfg, max_rounds=max_rounds, anchor=(x_in, X_in), **kw)
     rel = (ub - lb) / (1.0 + abs(ub))

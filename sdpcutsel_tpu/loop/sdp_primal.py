@@ -54,6 +54,7 @@ def bm_feasible_point(
     certify_from: int | None = 2,
     rows=None,
     anchor=None,
+    return_multipliers: bool = False,
 ):
     """Approximately solve the primal SDP by Burer-Monteiro + augmented
     Lagrangian.  Returns (x, X, lb): the BEST point seen across AL stages
@@ -179,12 +180,20 @@ def bm_feasible_point(
 
     x = Y1[:, 0]
     X = 0.5 * (Y1 @ Y1.T + (Y1 @ Y1.T).T)
+    # final AL multiplier estimates — near-optimal dual variables of the SDP
+    # when the ascent converged; warm start for sdp_dual.dual_upper_bound
+    mults = {"A": lamA, "B": lamB, "C": lamC, "D": lamD, "E": lamE}
+    if rows is not None:
+        mults["R"] = lamR / rn  # undo the row normalization
     if best[1] is None:
-        return x, X, -np.inf
+        return (x, X, -np.inf, mults) if return_multipliers \
+            else (x, X, -np.inf)
     # final iterate might still win (rare); certify once more
     lb = sdp_lower_bound(Q, c, x, X, repair_iters=5, rows=rows, anchor=anchor)
     if lb > best[0]:
         best = (lb, x, X)
+    if return_multipliers:
+        return best[1], best[2], best[0], mults
     return best[1], best[2], best[0]
 
 
