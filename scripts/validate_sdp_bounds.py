@@ -99,7 +99,8 @@ def main():
                 inst, lp, max_rounds=args.max_rounds, anchor=(x_in, X_in),
                 max_cuts_per_round=48, capacity=2048, purge_at=1500,
                 stall_tol=1e-5, stall_rounds=15,
-                seed_dirs=bm_null_directions(x_in, X_in))
+                seed_dirs=bm_null_directions(x_in, X_in),
+                final_polish=True)
             did_ub = True
             if sdp < lb - tol:
                 # registry value provably NOT a valid SDP upper bound (below

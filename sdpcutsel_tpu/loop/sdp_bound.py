@@ -73,22 +73,27 @@ def _gen_dense_cuts(x, X, dense: DenseRows, count, eig_tol, m_max=10**9):
     return new, jnp.minimum(count + ncut, dense.h.shape[0]), w[0]
 
 
-def _purge_dense_rows(dense: DenseRows, state, count: int, m0: int):
+def _purge_dense_rows(mirror, state, count: int, m0: int, dtype):
     """Host-side compaction of the dense cut buffer: keep the QCQP prefix
     [0, m0) plus every cut that is near-active at the current LP point
     (small slack) or carries dual weight; compact survivors to the front and
     permute the warm-start duals to match.  Shallow stale cuts otherwise
     saturate the fixed-capacity buffer and silently freeze the bound (the
-    observed n=100 plateau, round 4)."""
+    observed n=100 plateau, round 4).
 
-    G = np.asarray(dense.G, np.float64)
-    g = np.asarray(dense.g, np.float64)
-    h = np.asarray(dense.h, np.float64)
+    Round 5: operates on the HOST MIRROR (f32 numpy copies of the device
+    rows) instead of pulling the (capacity, n, n) device buffer — that pull
+    cost seconds per purge through the tunnel.  Returns the compacted
+    mirror, the rebuilt device buffer, the permuted state, and the count."""
+    Gm, gm, hm = mirror
+    G = Gm[:count].astype(np.float64)
+    g = gm[:count].astype(np.float64)
+    h = hm[:count].astype(np.float64)
     x = np.asarray(state.x, np.float64)
     X = np.asarray(state.X, np.float64)
     yD = np.asarray(state.yD, np.float64)
     idx = np.arange(count)
-    slack = np.einsum("mij,ij->m", G[:count], X) + g[:count] @ x - h[:count]
+    slack = np.einsum("mij,ij->m", G, X) + g @ x - h
     dual = yD[:count]
     # hard budget: PDHG duals are smeared (no simplex-style sparsity), so a
     # threshold rule keeps everything; instead RANK by near-activity with a
@@ -100,19 +105,17 @@ def _purge_dense_rows(dense: DenseRows, state, count: int, m0: int):
     score[:m0] = -np.inf                      # QCQP prefix always survives
     kept = idx[np.argsort(score, kind="stable")[:target]]
     kept.sort()
-    cap = dense.h.shape[0]
-    dtype = dense.G.dtype
-    Gn = np.zeros_like(np.asarray(dense.G))
-    gn = np.zeros_like(np.asarray(dense.g))
-    hn = np.zeros_like(np.asarray(dense.h))
-    yn = np.zeros_like(np.asarray(state.yD))
     k = len(kept)
-    Gn[:k], gn[:k], hn[:k] = G[kept], g[kept], h[kept]
+    Gn = np.zeros_like(Gm)
+    gn = np.zeros_like(gm)
+    hn = np.zeros_like(hm)
+    yn = np.zeros_like(np.asarray(state.yD))
+    Gn[:k], gn[:k], hn[:k] = Gm[kept], gm[kept], hm[kept]
     yn[:k] = yD[kept]
     new_dense = DenseRows(G=jnp.asarray(Gn, dtype), g=jnp.asarray(gn, dtype),
                           h=jnp.asarray(hn, dtype))
     new_state = state._replace(yD=jnp.asarray(yn, state.yD.dtype))
-    return new_dense, new_state, jnp.asarray(min(k, cap), jnp.int32)
+    return (Gn, gn, hn), new_dense, new_state, jnp.asarray(k, jnp.int32)
 
 
 def sdp_relaxation_bound(
@@ -130,6 +133,7 @@ def sdp_relaxation_bound(
     max_cuts_per_round: int = 10**9,
     purge_at: int | None = None,
     seed_dirs=None,
+    final_polish: bool = False,
 ):
     """Returns (sdp_bound, initial_relaxation_bound, history list); with
     with_point=True additionally the final LP point (x, X) as f64 numpy —
@@ -159,6 +163,13 @@ def sdp_relaxation_bound(
 
     pool = empty_pool(1, 1, dtype)          # no sparse cuts in this loop
     dense = _empty_dense_cuts(n, capacity, dtype)
+    # host mirror of the dense rows (f32 — bit-identical to the device
+    # buffer): the f64 certificate and the purge read rows every round, and
+    # pulling the (capacity, n, n) device buffer through the tunnel costs
+    # seconds per round at capacity 2048 (round-5 profiling)
+    mG = np.zeros((capacity, n, n), np.float32)
+    mg = np.zeros((capacity, n), np.float32)
+    mh = np.zeros((capacity,), np.float32)
     count = jnp.zeros((), jnp.int32)
     if is_qcqp and inst.m > 0:
         from ..relax.denserows import dense_from_qcqp
@@ -170,6 +181,9 @@ def sdp_relaxation_bound(
             g=dense.g.at[:m].set(qrows.g),
             h=dense.h.at[:m].set(qrows.h),
         )
+        mG[:m] = np.asarray(qrows.G, np.float32)
+        mg[:m] = np.asarray(qrows.g, np.float32)
+        mh[:m] = np.asarray(qrows.h, np.float32)
         count = jnp.asarray(m, jnp.int32)
     if seed_dirs is not None:
         # Pre-seed the buffer with v v' >= 0 rows for given (n+1)-vectors —
@@ -188,14 +202,16 @@ def sdp_relaxation_bound(
         hm = -(v0s ** 2)
         nrm = np.sqrt((Gm**2).sum((1, 2)) + (gm**2).sum(1)) + 1e-30
         q = min(Vs.shape[0], capacity - int(count) - 64)
+        sG = (Gm / nrm[:, None, None])[:q].astype(np.float32)
+        sg = (gm / nrm[:, None])[:q].astype(np.float32)
+        sh = (hm / nrm)[:q].astype(np.float32)
+        c0 = int(count)
         dense = DenseRows(
-            G=dense.G.at[int(count):int(count) + q].set(
-                jnp.asarray((Gm / nrm[:, None, None])[:q], dtype)),
-            g=dense.g.at[int(count):int(count) + q].set(
-                jnp.asarray((gm / nrm[:, None])[:q], dtype)),
-            h=dense.h.at[int(count):int(count) + q].set(
-                jnp.asarray((hm / nrm)[:q], dtype)),
+            G=dense.G.at[c0:c0 + q].set(jnp.asarray(sG, dtype)),
+            g=dense.g.at[c0:c0 + q].set(jnp.asarray(sg, dtype)),
+            h=dense.h.at[c0:c0 + q].set(jnp.asarray(sh, dtype)),
         )
+        mG[c0:c0 + q], mg[c0:c0 + q], mh[c0:c0 + q] = sG, sg, sh
         count = count + jnp.asarray(q, jnp.int32)
     state = init_state(n, 1, capacity, dtype)
 
@@ -206,16 +222,26 @@ def sdp_relaxation_bound(
     m0 = int(count)          # QCQP prefix rows: never purged
     m_max = jnp.asarray(max_cuts_per_round, jnp.int32)
 
+    def sync_mirror(old: int, new: int):
+        # pull only the freshly generated rows (48 x n^2 floats, ~2 MB)
+        if new > old:
+            mG[old:new] = np.asarray(dense.G[old:new])
+            mg[old:new] = np.asarray(dense.g[old:new])
+            mh[old:new] = np.asarray(dense.h[old:new])
+
     history = []
     bound0 = None
     for r in range(max_rounds):
         state, info = solve_lp(Q, c, pool, state, lp_cfg, dense=dense)
-        bound = dual_bound_f64(Qnp, cnp, pool, state, dense=dense)
+        cnt = int(count)
+        bound = dual_bound_f64(Qnp, cnp, pool, state,
+                               dense_np=(mG[:cnt], mg[:cnt], mh[:cnt]))
         if bound0 is None:
             bound0 = bound
         if purge_at is not None and int(count) > purge_at:
-            dense, state, count = _purge_dense_rows(
-                dense, state, int(count), m0)
+            (mGk, mgk, mhk), dense, state, count = _purge_dense_rows(
+                (mG, mg, mh), state, int(count), m0, dtype)
+            mG[:], mg[:], mh[:] = mGk, mgk, mhk
         if anchor is not None:
             # in-out: separate at the blend toward the interior anchor; if
             # the blend is PSD (no cut), shrink beta toward the LP point
@@ -225,7 +251,9 @@ def sdp_relaxation_bound(
                 d2, c2, lam_min = _gen_dense_cuts(
                     xs, Xs, dense, count, eig_tol, m_max)
                 if float(lam_min) < -eig_tol:
+                    old = int(count)
                     dense, count = d2, c2
+                    sync_mirror(old, int(count))
                     beta = min(beta * 1.3, 0.9)
                     break
                 beta *= 0.5
@@ -235,12 +263,16 @@ def sdp_relaxation_bound(
                 # x1.3/round recovery one such round would degrade in-out
                 # to plain eigencut for ~20 rounds (ADVICE r4 #4).
                 beta = 0.5
+                old = int(count)
                 dense, count, lam_min = _gen_dense_cuts(
                     state.x, state.X, dense, count, eig_tol, m_max)
+                sync_mirror(old, int(count))
         else:
+            old = int(count)
             dense, count, lam_min = _gen_dense_cuts(
                 state.x, state.X, dense, count, eig_tol, m_max
             )
+            sync_mirror(old, int(count))
         lam_min = float(lam_min)
         history.append({"round": r, "bound": bound, "lam_min": lam_min,
                         "cuts": int(count), "lp_iters": int(info["iters"]),
@@ -261,6 +293,30 @@ def sdp_relaxation_bound(
             prev_best = min(h["bound"] for h in history[: -stall_rounds])
             if prev_best - best <= stall_tol * (1.0 + abs(best)):
                 break
+
+    # Final polish (round 5): the per-round LPs stop at kkt ~1e-2 under the
+    # iteration budget, and the f64 certificate pays for dual infeasibility;
+    # one long tight re-solve over the final buffer recovers that at the
+    # cost of a single extra solve.  The polished value is one more valid
+    # certificate, so the running min absorbs it.
+    if final_polish and history:
+        import dataclasses as _dc
+
+        tight = _dc.replace(lp_cfg, max_iters=lp_cfg.max_iters * 4,
+                            tol=lp_cfg.tol * 1e-2)
+        state, info = solve_lp(Q, c, pool, state, tight, dense=dense)
+        cnt = int(count)
+        b = dual_bound_f64(Qnp, cnp, pool, state,
+                           dense_np=(mG[:cnt], mg[:cnt], mh[:cnt]))
+        history.append({"round": len(history), "bound": b,
+                        "lam_min": float("nan"), "cuts": int(count),
+                        "lp_iters": int(info["iters"]),
+                        "lp_kkt": float(info["kkt_error"]),
+                        "polish": True})
+        if verbose:
+            print(f"[sdp_bound] polish: bound={b:.6f} "
+                  f"iters={int(info['iters'])} "
+                  f"kkt={float(info['kkt_error']):.2e}", flush=True)
 
     best = min(h["bound"] for h in history)
     if with_point:
@@ -484,6 +540,7 @@ def validate_sdp_bound(inst, lp_cfg: LPConfig | None = None,
     kw.setdefault("stall_tol", 1e-5)
     kw.setdefault("stall_rounds", 15)
     kw.setdefault("seed_dirs", bm_null_directions(x_in, X_in))
+    kw.setdefault("final_polish", True)
     ub, _, _ = sdp_relaxation_bound(
         inst, lp_cfg, max_rounds=max_rounds, anchor=(x_in, X_in), **kw)
     rel = (ub - lb) / (1.0 + abs(ub))

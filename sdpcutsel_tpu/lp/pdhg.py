@@ -384,11 +384,19 @@ def steer_to_vertex(Q, c, pool: CutPool, state: PDHGState, cfg: LPConfig,
 
 
 def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState,
-                   dense: DenseRows | None = None) -> float:
+                   dense: DenseRows | None = None,
+                   dense_np=None) -> float:
     """Certified max-form upper bound from the current duals, in float64 numpy.
 
     Mirrors _dual_bound exactly but on host at f64: any y >= 0 yields a valid
     bound, so f32 solver noise cannot invalidate the reported number.
+
+    ``dense_np=(G, g, h)``: host copies of the dense rows.  Pulling the
+    (capacity, n, n) device buffer through this setup's tunnel costs
+    seconds per call at capacity 2048 (round-5 profiling of the eigencut
+    certifier), so callers that certify every round keep an incremental
+    host mirror and pass it here; values are bit-identical to the device
+    rows (f32 embeds exactly into f64).
     """
     n = int(c.shape[0])
     Q = np.asarray(Q, np.float64)
@@ -425,7 +433,12 @@ def dual_bound_f64(Q, c, pool: CutPool, state: PDHGState,
     gXC = flat.reshape(n, n)
     hyC = float((rhs * act) @ yC)
     blocks = [(hyA, gxA, gXA), (hyB, gxB, gXB), (hyC, gxC, gXC)]
-    if dense is not None and dense.h.shape[0] > 0:
+    if dense_np is not None:
+        G, g, hD = (np.asarray(a, np.float64) for a in dense_np)
+        yD = np.maximum(np.asarray(state.yD, np.float64), 0.0)[: hD.shape[0]]
+        blocks.append((float(hD @ yD), g.T @ yD,
+                       np.einsum("m,mij->ij", yD, G)))
+    elif dense is not None and dense.h.shape[0] > 0:
         yD = np.maximum(np.asarray(state.yD, np.float64), 0.0)
         G = np.asarray(dense.G, np.float64)
         g = np.asarray(dense.g, np.float64)
