@@ -93,14 +93,17 @@ def main():
 
         # --- phase B: in-out eigencut upper bound, only where needed ---
         # (round-5 accelerated settings: BM null-space seeding, 48 cut
-        # directions per round, 2048-row buffer — see validate_sdp_bound)
+        # directions per round, 2048-row buffer, host mirror, early exit at
+        # the width target — see validate_sdp_bound)
         if not args.lb_only and (rel > args.rel_target or sdp < lb - tol):
+            # rel=(ub-lb)/(1+ub) <= target  <=>  ub <= (lb+target)/(1-target)
+            stop_ub = (lb + args.rel_target) / (1.0 - args.rel_target)
             ub, _, hist = sdp_relaxation_bound(
                 inst, lp, max_rounds=args.max_rounds, anchor=(x_in, X_in),
                 max_cuts_per_round=48, capacity=2048, purge_at=1500,
                 stall_tol=1e-5, stall_rounds=15,
                 seed_dirs=bm_null_directions(x_in, X_in),
-                final_polish=True)
+                final_polish=True, stop_below=stop_ub)
             did_ub = True
             if sdp < lb - tol:
                 # registry value provably NOT a valid SDP upper bound (below

@@ -134,6 +134,7 @@ def sdp_relaxation_bound(
     purge_at: int | None = None,
     seed_dirs=None,
     final_polish: bool = False,
+    stop_below: float | None = None,
 ):
     """Returns (sdp_bound, initial_relaxation_bound, history list); with
     with_point=True additionally the final LP point (x, X) as f64 numpy —
@@ -289,6 +290,8 @@ def sdp_relaxation_bound(
         # can make later rounds non-monotone, so best-so-far is the value
         # to both report and stall-test.
         best = min(h["bound"] for h in history)
+        if stop_below is not None and best <= stop_below:
+            break   # caller's tightness target reached — budget the rest
         if len(history) > stall_rounds:
             prev_best = min(h["bound"] for h in history[: -stall_rounds])
             if prev_best - best <= stall_tol * (1.0 + abs(best)):
