@@ -40,37 +40,33 @@ def _empty_dense_cuts(n: int, capacity: int, dtype):
     )
 
 
-@jax.jit
-def _gen_dense_cuts(x, X, dense: DenseRows, count, eig_tol, m_max=10**9):
-    """Eigendecompose Z at (x, X); append one unit-norm dense row per
-    negative eigenvalue at positions count.. (scatter, drop on overflow).
-    At most the m_max MOST negative eigen-directions are kept (eigh returns
-    ascending order, so the first m_max columns are the deepest cuts) —
-    shallow cuts fill the fixed-capacity buffer without moving the bound."""
+def _gen_dense_cuts_host(x, X, eig_tol, m_max):
+    """Host-f64 twin of _gen_dense_cuts for the eigencut certifier loop:
+    LAPACK dsyev at (n+1) <= 126 costs ~2 ms, where the on-device eigh
+    dispatch through this setup's tunnel costs ~0.5 s per in-out blend
+    attempt (round-5 profiling) — and f64 eigenvectors give slightly deeper
+    cuts.  Returns (rows | None, lam_min) with rows = (G, g, h) f32 arrays
+    ready for both the device buffer and the host mirror."""
     n = x.shape[0]
-    Z = jnp.concatenate(
-        [jnp.concatenate([jnp.ones((1, 1), x.dtype), x[None, :]], axis=1),
-         jnp.concatenate([x[:, None], X], axis=1)], axis=0
-    )
-    w, V = jnp.linalg.eigh(Z)            # ascending; columns are eigvecs
-    v0 = V[0, :]                          # (n+1,)
-    U = V[1:, :]                          # (n, n+1)
-    # cut j: <u_j u_j', X> + 2 v0_j u_j' x >= -v0_j^2
-    G = U.T[:, :, None] * U.T[:, None, :]            # (n+1, n, n)
-    g = 2.0 * v0[:, None] * U.T                      # (n+1, n)
-    h = -(v0 ** 2)                                   # (n+1,)
-    nrm = jnp.sqrt(jnp.sum(G**2, axis=(1, 2)) + jnp.sum(g**2, axis=1)) + 1e-30
-    G, g, h = G / nrm[:, None, None], g / nrm[:, None], h / nrm
-    valid = (w < -eig_tol) & (jnp.arange(w.shape[0]) < m_max)
-    dest = count + jnp.cumsum(valid.astype(jnp.int32)) - 1
-    dest = jnp.where(valid, dest, dense.h.shape[0])  # drop invalid/overflow
-    new = DenseRows(
-        G=dense.G.at[dest].set(G, mode="drop"),
-        g=dense.g.at[dest].set(g, mode="drop"),
-        h=dense.h.at[dest].set(h, mode="drop"),
-    )
-    ncut = jnp.sum(valid.astype(jnp.int32))
-    return new, jnp.minimum(count + ncut, dense.h.shape[0]), w[0]
+    Z = np.empty((n + 1, n + 1))
+    Z[0, 0] = 1.0
+    Z[0, 1:] = x
+    Z[1:, 0] = x
+    Z[1:, 1:] = X
+    w, V = np.linalg.eigh(Z)
+    lam_min = float(w[0])
+    neg = np.nonzero(w < -eig_tol)[0][:m_max]
+    if neg.size == 0:
+        return None, lam_min
+    v0 = V[0, neg]
+    U = V[1:, neg]
+    G = U.T[:, :, None] * U.T[:, None, :]
+    g = 2.0 * v0[:, None] * U.T
+    h = -(v0 ** 2)
+    nrm = np.sqrt((G**2).sum((1, 2)) + (g**2).sum(1)) + 1e-30
+    return ((G / nrm[:, None, None]).astype(np.float32),
+            (g / nrm[:, None]).astype(np.float32),
+            (h / nrm).astype(np.float32)), lam_min
 
 
 def _purge_dense_rows(mirror, state, count: int, m0: int, dtype):
@@ -217,18 +213,28 @@ def sdp_relaxation_bound(
     state = init_state(n, 1, capacity, dtype)
 
     if anchor is not None:
-        x_in = jnp.asarray(anchor[0], dtype)
-        X_in = jnp.asarray(anchor[1], dtype)
+        x_in = np.asarray(anchor[0], np.float64)
+        X_in = np.asarray(anchor[1], np.float64)
         beta = 0.5
     m0 = int(count)          # QCQP prefix rows: never purged
-    m_max = jnp.asarray(max_cuts_per_round, jnp.int32)
 
-    def sync_mirror(old: int, new: int):
-        # pull only the freshly generated rows (48 x n^2 floats, ~2 MB)
-        if new > old:
-            mG[old:new] = np.asarray(dense.G[old:new])
-            mg[old:new] = np.asarray(dense.g[old:new])
-            mh[old:new] = np.asarray(dense.h[old:new])
+    def append_rows(rows):
+        # new rows go to the host mirror AND the device buffer (one small
+        # ~2 MB slice upload) — generation itself is host-f64 (see
+        # _gen_dense_cuts_host)
+        nonlocal dense, count
+        Gr, gr, hr = rows
+        c0 = int(count)
+        q = min(Gr.shape[0], capacity - c0)
+        if q <= 0:
+            return
+        mG[c0:c0 + q], mg[c0:c0 + q], mh[c0:c0 + q] = Gr[:q], gr[:q], hr[:q]
+        dense = DenseRows(
+            G=dense.G.at[c0:c0 + q].set(jnp.asarray(Gr[:q], dtype)),
+            g=dense.g.at[c0:c0 + q].set(jnp.asarray(gr[:q], dtype)),
+            h=dense.h.at[c0:c0 + q].set(jnp.asarray(hr[:q], dtype)),
+        )
+        count = jnp.asarray(c0 + q, jnp.int32)
 
     history = []
     bound0 = None
@@ -243,18 +249,18 @@ def sdp_relaxation_bound(
             (mGk, mgk, mhk), dense, state, count = _purge_dense_rows(
                 (mG, mg, mh), state, int(count), m0, dtype)
             mG[:], mg[:], mh[:] = mGk, mgk, mhk
+        x_np = np.asarray(state.x, np.float64)
+        X_np = np.asarray(state.X, np.float64)
         if anchor is not None:
             # in-out: separate at the blend toward the interior anchor; if
             # the blend is PSD (no cut), shrink beta toward the LP point
             for _ in range(8):
-                xs = (1.0 - beta) * state.x + beta * x_in
-                Xs = (1.0 - beta) * state.X + beta * X_in
-                d2, c2, lam_min = _gen_dense_cuts(
-                    xs, Xs, dense, count, eig_tol, m_max)
-                if float(lam_min) < -eig_tol:
-                    old = int(count)
-                    dense, count = d2, c2
-                    sync_mirror(old, int(count))
+                xs = (1.0 - beta) * x_np + beta * x_in
+                Xs = (1.0 - beta) * X_np + beta * X_in
+                rows_new, lam_min = _gen_dense_cuts_host(
+                    xs, Xs, eig_tol, max_cuts_per_round)
+                if lam_min < -eig_tol:
+                    append_rows(rows_new)
                     beta = min(beta * 1.3, 0.9)
                     break
                 beta *= 0.5
@@ -264,17 +270,15 @@ def sdp_relaxation_bound(
                 # x1.3/round recovery one such round would degrade in-out
                 # to plain eigencut for ~20 rounds (ADVICE r4 #4).
                 beta = 0.5
-                old = int(count)
-                dense, count, lam_min = _gen_dense_cuts(
-                    state.x, state.X, dense, count, eig_tol, m_max)
-                sync_mirror(old, int(count))
+                rows_new, lam_min = _gen_dense_cuts_host(
+                    x_np, X_np, eig_tol, max_cuts_per_round)
+                if rows_new is not None:
+                    append_rows(rows_new)
         else:
-            old = int(count)
-            dense, count, lam_min = _gen_dense_cuts(
-                state.x, state.X, dense, count, eig_tol, m_max
-            )
-            sync_mirror(old, int(count))
-        lam_min = float(lam_min)
+            rows_new, lam_min = _gen_dense_cuts_host(
+                x_np, X_np, eig_tol, max_cuts_per_round)
+            if rows_new is not None:
+                append_rows(rows_new)
         history.append({"round": r, "bound": bound, "lam_min": lam_min,
                         "cuts": int(count), "lp_iters": int(info["iters"]),
                         "lp_kkt": float(info["kkt_error"])})
