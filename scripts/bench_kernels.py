@@ -104,8 +104,22 @@ def main():
                    repeats=args.repeats)
     results["pair_jnp"] = R * T_real / sec
 
+    # ---- tiered packed pair layout (round 5, VERDICT r4 #8) ---------------
+    from sdpcutsel_tpu.ops.pair_packed import (
+        build_packed_pair_layout, packed_consts_static, packed_score,
+    )
+
+    lay = build_packed_pair_layout(n)
+    pconsts = packed_consts_static(Q, lay)
+    packed_slots = lay["valid"].shape[0]
+    if jax.default_backend() == "tpu":
+        sec, _ = timed(make_sustained(packed_score), x, X, pconsts, *W,
+                       repeats=args.repeats)
+        results["packed"] = R * T_real / sec
+
     print(json.dumps({
         "n": n, "T_real": T_real, "pair_slots": int(slots),
+        "packed_slots": int(packed_slots),
         "backend": jax.default_backend(),
         "rates_cands_per_sec": {m: round(v, 1) for m, v in results.items()},
     }))
