@@ -109,12 +109,16 @@ def main():
         build_packed_pair_layout, packed_consts_static, packed_score,
     )
 
+    import functools
+
     lay = build_packed_pair_layout(n)
     pconsts = packed_consts_static(Q, lay)
     packed_slots = lay["valid"].shape[0]
     if jax.default_backend() == "tpu":
-        sec, _ = timed(make_sustained(packed_score), x, X, pconsts, *W,
-                       repeats=args.repeats)
+        # n is static: bind it outside the sustained jit (consts are traced)
+        sec, _ = timed(
+            make_sustained(functools.partial(packed_score, n=n)),
+            x, X, pconsts, *W, repeats=args.repeats)
         results["packed"] = R * T_real / sec
 
     print(json.dumps({

@@ -273,13 +273,20 @@ def _packed_score_impl(x, X, consts, W1, b1, W2, b2, W3, b3, n: int,
 
 def packed_score(x, X, consts, W1, b1, W2, b2, W3, b3, sweeps: int = 5,
                  pairs_block: int = 128, interpret: bool = False,
-                 use_kernel: bool = True):
+                 use_kernel: bool = True, n: int | None = None):
     """Tier-packed scoring.  Returns (nn, feas) in the layout's slot order
     ([tier0 | tier1 | tier2]); semantics per slot identical to
     pair_score_fused.  use_kernel=False runs the pure-jnp twin (CPU path /
-    correctness reference)."""
+    correctness reference).
+
+    ``n`` must be a static Python int; it defaults to ``consts["n"]``,
+    which only works when packed_score is NOT called under an outer jit
+    that traced the consts pytree — such callers pass ``n`` explicitly
+    (and may strip "n" from the dict)."""
     consts = dict(consts)
-    n = int(consts.pop("n"))
+    n_in = consts.pop("n", None)
+    if n is None:
+        n = int(n_in)
     return _packed_score_impl(x, X, consts, W1, b1, W2, b2, W3, b3, n=n,
                               sweeps=sweeps, pairs_block=pairs_block,
                               interpret=interpret, use_kernel=use_kernel)
