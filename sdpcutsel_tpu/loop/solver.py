@@ -175,7 +175,12 @@ class CutSolver(CheckpointableSolver):
             and cfg.scorer.strategy in ("neural", "feasibility", "combined")
         )
         mode = cfg.cuts.pair_layout
-        self._use_pair = pair_able and (
+        # "packed": the round-5 tiered packed variant (ops/pair_packed.py):
+        # 2.0x fewer padded lane slots via static per-tier lane windows,
+        # measured 241M vs 193M cands/s at n=125 (bench_kernels_r5.json);
+        # opt-in because it requires n >= 66
+        self._use_packed = pair_able and mode == "packed" and n >= 66
+        self._use_pair = pair_able and not self._use_packed and (
             mode == "on"
             or (mode == "auto" and jax.default_backend() == "tpu")
         )
@@ -209,6 +214,42 @@ class CutSolver(CheckpointableSolver):
             return jnp.where(consts["valid"], s, neg)
 
         base_consts = {"table": self.table, "valid": self.table_valid}
+
+        if self._use_packed:
+            from ..models.scorer import load_params
+            from ..ops.fused_score import mlp_params_for_kernel
+            from ..ops.pair_packed import (
+                build_packed_pair_layout, packed_consts_static, packed_score,
+            )
+
+            n = self.inst.n
+            lay = build_packed_pair_layout(n)
+            self.table = jnp.asarray(lay["table"])
+            self.table_valid = jnp.asarray(lay["valid"])
+            params, _ = load_params(self.cfg.cuts.k,
+                                    tuple(self.cfg.scorer.hidden),
+                                    self.cfg.scorer.weights_path,
+                                    self.cfg.scorer.seed)
+            pc = packed_consts_static(self.Q, lay)
+            pc.pop("n")
+            self._score_consts = {
+                "table": self.table, "valid": self.table_valid,
+                "packed": pc,
+                "W": [jnp.asarray(a) for a in mlp_params_for_kernel(params)],
+            }
+            use_kernel = jax.default_backend() == "tpu"
+
+            def score(x, X, key, consts):
+                nn, feas = packed_score(x, X, consts["packed"],
+                                        *consts["W"], sweeps=5, n=n,
+                                        use_kernel=use_kernel)
+                if strat == "feasibility":
+                    return masked(feas, consts)
+                if strat == "combined":
+                    return masked(jnp.where(feas > 0.0, nn, neg), consts)
+                return masked(nn, consts)
+
+            return score
 
         if self._use_pair:
             from ..models.scorer import load_params

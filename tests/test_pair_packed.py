@@ -68,3 +68,33 @@ def test_packed_matches_pair_path(n):
         errs_f.append(abs(feas_p[s] - rf))
     assert max(errs_f) < 2e-5, max(errs_f)
     assert max(errs_nn) < 2e-4, max(errs_nn)
+
+
+def test_solver_packed_layout_matches_pair():
+    """CutSolver with pair_layout="packed" closes the same bound sequence
+    as the pair layout (same candidates, same scores — only slot order and
+    padding differ; selection is score-driven with deterministic ties)."""
+    import jax.numpy as jnp
+
+    from sdpcutsel_tpu.config import (
+        CutConfig, LPConfig, RunConfig, ScorerConfig,
+    )
+    from sdpcutsel_tpu.instances import generate_spar
+    from sdpcutsel_tpu.loop import CutSolver
+
+    inst = generate_spar(70, 100, 1)
+
+    def run(mode):
+        cfg = RunConfig(
+            lp=LPConfig(max_iters=3000, tol=2e-6),
+            cuts=CutConfig(k=3, sel_size=10, capacity=256,
+                           pair_layout=mode),
+            scorer=ScorerConfig(strategy="feasibility"),
+        )
+        s = CutSolver(inst, cfg)
+        s.run(rounds=2)
+        return np.asarray([h.bound for h in s.history])
+
+    b_pair = run("on")
+    b_packed = run("packed")
+    np.testing.assert_allclose(b_packed, b_pair, rtol=2e-3, atol=2e-3)
