@@ -58,7 +58,11 @@ class CutConfig:
                                      # (ops/pair_score.py): "auto" = on TPU
                                      # for k=3, n<=128, fused-able strategies;
                                      # "on" forces it (jnp path off-TPU);
-                                     # "off" keeps the generic table path
+                                     # "off" keeps the generic table path;
+                                     # "packed" (n>=66): tiered packed
+                                     # variant (ops/pair_packed.py) — 2.0x
+                                     # fewer padded slots, measured 1.25x
+                                     # scoring throughput at n=125
     sel_gate: str = "residual"       # sparse-path re-selection gate.  PDHG
                                      # re-solves are inexact, so last round's
                                      # selections can still read as violated
