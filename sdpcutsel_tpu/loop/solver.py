@@ -188,6 +188,7 @@ class CutSolver(CheckpointableSolver):
         self.state: PDHGState = init_state(n, cfg.cuts.capacity, 0, dtype)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.history: list[RoundStats] = []
+        self._custom_score = score_fn is not None
         if score_fn is not None:
             # custom score hook: gets the base consts (padded table + mask);
             # strategy-specific consts belong to the default strategies only
@@ -465,6 +466,17 @@ class CutSolver(CheckpointableSolver):
             body, (pool, st, key), None, length=rounds)
         return (pool, st, key), outs
 
+    # Shared jitted-scan cache across solver INSTANCES (round 5): the scan
+    # program depends only on (cfg, n, dtype, backend) — all per-instance
+    # data (Q, c, pool, state, scorer consts) flows through as arguments —
+    # but jax.jit keys on the bound method's identity, so a fresh solver
+    # per instance re-TRACED the 10-round program (~4 s of host Python at
+    # n=125, measured: fresh-solver 1.6 rounds/s vs 5.8 warm).  Suite runs
+    # create one solver per instance, so this cache converts the re-trace
+    # into a dict hit.  Solvers with a CUSTOM score_fn bypass it (their
+    # closure behavior is not captured by the key).
+    _scan_cache: dict = {}
+
     def run_scan(self, rounds: Optional[int] = None) -> list[RoundStats]:
         """Run ALL rounds in one jit dispatch (LoopConfig.use_scan).
 
@@ -476,8 +488,18 @@ class CutSolver(CheckpointableSolver):
         rounds = rounds if rounds is not None else self.cfg.loop.rounds
         t0 = time.perf_counter()
         if not hasattr(self, "_scan_jit"):
-            self._scan_jit = jax.jit(self._scan_impl,
+            if self._custom_score:
+                self._scan_jit = jax.jit(self._scan_impl,
+                                         static_argnames=("rounds",))
+            else:
+                key_ = (type(self), self.cfg, self.inst.n, str(self.dtype),
+                        jax.default_backend())
+                cached = CutSolver._scan_cache.get(key_)
+                if cached is None:
+                    cached = jax.jit(self._scan_impl,
                                      static_argnames=("rounds",))
+                    CutSolver._scan_cache[key_] = cached
+                self._scan_jit = cached
         (self.pool, self.state, self.key), outs = jax.block_until_ready(
             self._scan_jit(self.Q, self.c, self.pool, self.state, self.key,
                            self._score_consts, rounds=rounds))
