@@ -48,6 +48,10 @@ def main():
                     help="skip the ub re-run when registry width <= this")
     ap.add_argument("--lb-only", action="store_true",
                     help="only refresh the BM lower bound (CPU-cheap)")
+    ap.add_argument("--stall-tol", type=float, default=1e-5,
+                    help="in-out eigencut stall tolerance (loosen for long "
+                         "deep reruns on a single stubborn instance)")
+    ap.add_argument("--stall-rounds", type=int, default=15)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -101,7 +105,7 @@ def main():
             ub, _, hist = sdp_relaxation_bound(
                 inst, lp, max_rounds=args.max_rounds, anchor=(x_in, X_in),
                 max_cuts_per_round=48, capacity=2048, purge_at=1500,
-                stall_tol=1e-5, stall_rounds=15,
+                stall_tol=args.stall_tol, stall_rounds=args.stall_rounds,
                 seed_dirs=bm_null_directions(x_in, X_in),
                 final_polish=True, stop_below=stop_ub)
             did_ub = True
